@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "edges": N, "triangles": N, "edges_per_sec": ...}
+
+The headline metric mirrors BASELINE.md: end-to-end triangle-count wall time
+(scan → normalize → DODG → count) plus the companion operators. Scaling
+evidence (N vs 4N cores) is produced by tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from trianglecounting_spark.session import get_spark
+    from trianglecounting_spark.sources import generators as g
+    from trianglecounting_spark.operators import triangles as t
+    from trianglecounting_spark.operators.pagerank import pagerank
+    from trianglecounting_spark.operators.components import connected_components
+    from trianglecounting_spark.operators.labelprop import label_propagation
+    from trianglecounting_spark.functions import dedup as dd
+    from trianglecounting_spark.functions import similarity as sim
+    from trianglecounting_spark.functions import textstats as ts
+
+    spark = get_spark(app_name="tc-spark-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    stats: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
+
+    # edge table build (scan + normalize + co-occurrence join) — measured once
+    edges = timed("build_edges", lambda: g.copart_graph(spark, sf_dir).persist())
+    n_edges = edges.count()
+    stats["edges"] = n_edges
+
+    tri = timed(
+        "triangle_count_kernel",
+        lambda: t.triangle_count_kernel(edges).collect()[0].triangles,
+    )
+    stats["triangles"] = tri
+    timed(
+        "triangle_count_sql",
+        lambda: t.triangle_count_sql(edges).collect()[0].triangles,
+    )
+    timed(
+        "triangle_per_edge",
+        lambda: t.triangle_per_edge_support(edges).agg(F.sum("support")).collect(),
+    )
+    timed("pagerank_10", lambda: pagerank(edges, iterations=10).agg(F.sum("score")).collect())
+    timed("connected_components", lambda: connected_components(edges).agg(F.countDistinct("component")).collect())
+    timed("label_propagation_4", lambda: label_propagation(edges, rounds=4).agg(F.countDistinct("label")).collect())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("minhash_lsh_pairs", lambda: dd.minhash_lsh_pairs(docs).count())
+    timed("token_quality", lambda: ts.quality_score(docs).agg(F.sum("n_words")).collect())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    timed("cosine_topk_kernel", lambda: sim.cosine_topk_kernel(emb, k=5).count())
+
+    total = round(sum(queries.values()), 3)
+    kernel_sec = max(queries["triangle_count_kernel"], 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "link-graph analytics suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "cores": cores,
+                "edges": int(n_edges),
+                "triangles": int(tri),
+                "edges_per_sec": round(n_edges / kernel_sec, 1),
+                "triangles_per_sec": round(tri / kernel_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

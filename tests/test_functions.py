@@ -1,0 +1,157 @@
+"""Text analysis, dedup, similarity, multimodal — training-data pipeline ops."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from trianglecounting_spark.functions import dedup as dd
+from trianglecounting_spark.functions import multimodal as mm
+from trianglecounting_spark.functions import similarity as sim
+from trianglecounting_spark.functions import textstats as ts
+
+
+def _docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog."),
+        (1, "The quick brown fox jumps over the lazy dog."),  # exact dup of 0
+        (2, "The quick brown fox jumps  over the lazy dog. "),  # ws-normalized dup
+        (3, "A completely different document about Spark engines."),
+        (4, "the and of to in is that for it with"),  # all stopwords
+        (5, "der die und das ist nicht von mit den ein"),  # german
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark):
+    got = {r.doc_id: r.n_tokens for r in ts.token_count(_docs(spark)).collect()}
+    assert got[0] == 9
+    assert got[4] == 10
+
+
+def test_quality_score_ratios(spark):
+    got = {r.doc_id: r for r in ts.quality_score(_docs(spark)).collect()}
+    assert got[4].stop_ratio == 1.0
+    assert got[5].stop_ratio == 0.0
+    assert got[0].punct_ratio > 0
+    assert got[0].n_words == 9
+
+
+def test_language_id(spark):
+    got = {r.doc_id: r.lang_pred for r in ts.language_id(_docs(spark)).collect()}
+    assert got[4] == "en"
+    assert got[5] == "de"
+    assert got[3] == "und" or got[3] == "en"  # 'about' has no stopwords; 'a' not in list
+
+
+def test_exact_dedup_groups(spark):
+    groups = dd.exact_duplicates(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 3  # 0, 1, 2 normalize to the same bytes
+    assert groups[0].keep_id == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dups_close(spark):
+    h = {r.doc_id: r.simhash for r in dd.simhash(_docs(spark)).collect()}
+    assert h[0] == h[1] == h[2]  # identical token sets
+    assert bin(h[0] ^ h[3]).count("1") > 4
+
+
+def test_ngram_jaccard(spark):
+    j = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_all_pairs(_docs(spark), k=5, min_jaccard=0.0).collect()
+    }
+    assert math.isclose(j[(0, 1)], 1.0)
+    assert j[(0, 2)] == 1.0  # whitespace-normalized identical
+    assert j.get((0, 3), 0.0) < 0.2
+
+
+def _embeddings(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(10, 8))
+    rows = []
+    for i in range(10):
+        rows.append((i, [float(x) for x in base[i]]))
+    # 10+i = slightly perturbed copy of i (nearest neighbor by construction)
+    for i in range(10):
+        rows.append((10 + i, [float(x) for x in base[i] + 0.01 * rng.normal(size=8)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    e = _embeddings(spark)
+    top1 = {
+        r.vec_id: r.nbr_id
+        for r in sim.cosine_topk(e, k=1).collect()
+    }
+    for i in range(10):
+        assert top1[i] == 10 + i
+        assert top1[10 + i] == i
+
+
+def test_cosine_kernel_matches_sql_plan(spark):
+    e = _embeddings(spark)
+    a = sorted(map(tuple, sim.cosine_topk(e, k=3).collect()))
+    b = sorted(map(tuple, sim.cosine_topk_kernel(e, k=3).collect()))
+    assert a == b
+
+
+def test_ann_lsh_recall_at_1(spark):
+    e = _embeddings(spark)
+    exact = {r.vec_id: r.nbr_id for r in sim.cosine_topk(e, k=1).collect()}
+    approx = {
+        r.vec_id: r.nbr_id
+        for r in sim.ann_lsh_topk(e, dim=8, k=1, n_planes=2).collect()
+    }
+    hits = sum(1 for v, n in approx.items() if exact.get(v) == n)
+    assert hits / len(exact) >= 0.5  # twin pairs nearly always share buckets
+
+
+def test_multimodal_image_features(spark):
+    rows = [(i, mm.encode_fake_image(16, 8, seed=i)) for i in range(5)]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    feats = {r.media_id: r for r in mm.image_features(media).collect()}
+    assert len(feats) == 5
+    assert feats[0].width == 16 and feats[0].height == 8
+    assert 0 <= feats[0].mean_px <= 255
+
+
+def test_multimodal_resize_and_video(spark):
+    rows = [(0, mm.encode_fake_image(16, 16, seed=1))]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    small = mm.image_resize(media, 4, 4).collect()[0]
+    w, h, px = mm._decode_image(bytes(small.blob), "fake")
+    assert (w, h) == (4, 4) and len(px) == 16
+
+    video = b"".join(mm.encode_fake_image(4, 4, seed=s) for s in range(6))
+    vmedia = spark.createDataFrame([(0, video)], "media_id long, blob binary")
+    frames = mm.frame_sample(vmedia, every_n=2).collect()
+    assert [f.frame_idx for f in frames] == [0, 2, 4]
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    rows = [(0, mm.encode_fake_image(4, 4, seed=1))]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        mm.image_features(media, decoder="real").collect()
+
+
+def test_audio_features(spark):
+    rows = [(0, mm.encode_fake_audio(16000, 1000, seed=3))]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    f = mm.audio_features(media).collect()[0]
+    assert f.sample_rate == 16000 and f.n_samples == 1000 and f.rms > 0

@@ -1,0 +1,94 @@
+"""Skew handling invariance + streaming ingestion micro-batch semantics."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from trianglecounting_spark.operators.normalize import degrees, orient_dodg
+from trianglecounting_spark.operators.skew import (
+    capped_adjacency,
+    salted_count,
+    salted_degrees,
+)
+from trianglecounting_spark.sources import generators as g
+from trianglecounting_spark.streaming.edges import (
+    edge_rate_per_window,
+    normalize_stream,
+    stream_raw_edges,
+)
+
+
+def test_salted_degrees_equal_plain(spark):
+    """Salting must not change results (property test, SURVEY.md §7 step 3)."""
+    e = g.star_graph(spark, 500)  # deg(0)=499: the skew fixture
+    plain = {r.v: r.deg for r in degrees(e).collect()}
+    salted = {r.v: r.deg for r in salted_degrees(e, salts=8).collect()}
+    assert plain == salted
+
+
+def test_salted_count_generic(spark):
+    df = spark.range(1000).select((F.col("id") % 3).alias("k"))
+    got = {r.k: r.cnt for r in salted_count(df, "k", salts=16).collect()}
+    assert got == {0: 334, 1: 333, 2: 333}
+
+
+def test_capped_adjacency_splits_hubs(spark):
+    e = g.star_graph(spark, 300)
+    directed = e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    adj = capped_adjacency(directed, cap=100).collect()
+    hub_rows = [r for r in adj if r.src == 0]
+    assert len(hub_rows) == 3  # 299 neighbors split into 3 chunks of ≤100
+    all_nbrs = sorted(x for r in hub_rows for x in r.nbrs)
+    assert all_nbrs == list(range(1, 300))
+    assert all(len(r.nbrs) <= 100 for r in adj)
+
+
+def test_dodg_bounds_out_degree_on_star(spark):
+    """Orientation sends the hub's edges *into* the hub (leaves have lower
+    degree) — out-degree is bounded, the kernel group for the hub is empty."""
+    e = g.star_graph(spark, 1000)
+    d = orient_dodg(e)
+    out = d.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert out == 1  # every leaf points at the hub
+
+
+def test_streaming_normalize_and_rate(spark, tmp_path):
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    batch = spark.createDataFrame(
+        [(2, 1, "2024-01-01 00:00:10"), (1, 2, "2024-01-01 00:00:20"),
+         (3, 3, "2024-01-01 00:01:05"), (4, 5, "2024-01-01 00:01:30")],
+        "src long, dst long, ts_s string",
+    ).select("src", "dst", F.col("ts_s").cast("timestamp").alias("ts"))
+    batch.write.mode("overwrite").parquet(str(src_dir))
+
+    raw = stream_raw_edges(spark, str(src_dir))
+    q = (
+        normalize_stream(raw)
+        .writeStream.format("memory")
+        .queryName("norm_edges")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = sorted((r.u, r.v) for r in spark.sql("select * from norm_edges").collect())
+    assert rows == [(1, 2), (1, 2), (4, 5)]  # self-loop dropped; same-(u,v) diff ts kept
+
+    q2 = (
+        edge_rate_per_window(raw, "1 minute")
+        .writeStream.format("memory")
+        .queryName("edge_rate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    rates = {
+        str(r.window_start): r.n_edges
+        for r in spark.sql("select * from edge_rate").collect()
+    }
+    assert sum(rates.values()) == 4
+    assert len(rates) == 2

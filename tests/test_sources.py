@@ -1,0 +1,104 @@
+"""Source readers (S1-S6) and the page→edge front door."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from trianglecounting_spark.operators.normalize import normalize_edges
+from trianglecounting_spark.operators.triangles import triangle_count_sql
+from trianglecounting_spark.sources import generators as g
+from trianglecounting_spark.sources import fixtures as fx
+from trianglecounting_spark.sources import pages as pg
+from trianglecounting_spark.sources.readers import (
+    read_edges_binary_pairs,
+    read_edges_metis,
+    read_edges_tsv,
+    write_edges_binary_pairs,
+)
+
+
+def _clean(df):
+    return sorted((r.u, r.v) for r in normalize_edges(df).collect())
+
+
+def test_binary_pairs_roundtrip(spark, tmp_path):
+    """S1/S6: write the canonical edge list as raw uint32 pairs, read it back
+    (the reference's .bin contract: edge count from file size)."""
+    e = g.two_cliques_bridge(spark)
+    out = str(tmp_path / "pairs")
+    write_edges_binary_pairs(e, out)
+    back = read_edges_binary_pairs(spark, out)
+    assert _clean(back) == sorted((r.u, r.v) for r in e.collect())
+    assert triangle_count_sql(normalize_edges(back)).collect()[0].triangles == 40
+
+
+def test_metis_reader(spark, tmp_path):
+    """S3: METIS header + 1-based adjacency lines; two_cliques_bridge-like
+    tiny graph: triangle on {1,2,3} plus pendant 4 (1-based)."""
+    metis = tmp_path / "g.metis"
+    metis.write_text("% comment\n4 4\n2 3 4\n1 3\n1 2\n1\n")
+    e = read_edges_metis(spark, str(metis))
+    got = _clean(e)
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2)]
+    assert triangle_count_sql(normalize_edges(e)).collect()[0].triangles == 1
+
+
+def test_tsv_reader(spark, tmp_path):
+    tsv = tmp_path / "g.tsv"
+    tsv.write_text("0\t1\t1.0\n1\t2\t1.0\n0\t2\t1.0\n2\t3\t0.5\n")
+    e = read_edges_tsv(spark, str(tsv))
+    assert triangle_count_sql(normalize_edges(e)).collect()[0].triangles == 1
+
+
+def test_extract_text_deterministic_golden(spark):
+    """Byte-identical extracted text per url (input_hint invariant): golden
+    sha256 for fixed fixture pages, stable across partitionings."""
+    pages = fx.synth_pages(spark, n=50, out_deg=2)
+    rows = pg.extract_text(pages).select("url", "extracted_text").collect()
+    by_url = {r.url: hashlib.sha256(r.extracted_text.encode()).hexdigest() for r in rows}
+    rows2 = (
+        pg.extract_text(pages.repartition(7)).select("url", "extracted_text").collect()
+    )
+    by_url2 = {r.url: hashlib.sha256(r.extracted_text.encode()).hexdigest() for r in rows2}
+    assert by_url == by_url2
+    # golden: page 0's body text is fully deterministic
+    p0 = [r for r in rows if r.url.endswith("/page/0")][0]
+    assert p0.extracted_text == (
+        "p0 Page 0 of site 0. The quick brown fox jumps over the lazy dog 0. link link"
+    )
+
+
+def test_extract_links_matches_closed_form(spark):
+    pages = fx.synth_pages(spark, n=100, out_deg=3)
+    got = sorted(
+        (r.src_url, r.dst_url) for r in pg.extract_links(pages).collect()
+    )
+    want = sorted(
+        (r.src_url, r.dst_url)
+        for r in fx.expected_link_id_edges(spark, n=100, out_deg=3).collect()
+    )
+    assert got == want
+
+
+def test_pages_to_edges_end_to_end(spark):
+    """Full front door: pages → ids → normalized simple graph; edge count
+    bounded by n*out_deg, ids dense in [0, n)."""
+    pages = fx.synth_pages(spark, n=100, out_deg=3)
+    raw = pg.pages_to_edges(pages)
+    assert raw.count() == 300
+    ids = raw.select(F.explode(F.array("src", "dst")).alias("i"))
+    assert ids.agg(F.max("i")).collect()[0][0] <= 99
+    e = normalize_edges(raw, "src", "dst")
+    assert 0 < e.count() <= 300
+
+
+def test_url_dictionary_dense_and_deterministic(spark):
+    pages = fx.synth_pages(spark, n=64, out_deg=2)
+    d1 = {r.url: r.page_id for r in pg.url_dictionary(pages).collect()}
+    d2 = {r.url: r.page_id for r in pg.url_dictionary(pages.repartition(5)).collect()}
+    assert d1 == d2
+    assert sorted(d1.values()) == list(range(64))
+    # sorted-url order
+    assert [u for u, _ in sorted(d1.items(), key=lambda kv: kv[1])] == sorted(d1)

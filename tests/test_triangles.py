@@ -1,0 +1,105 @@
+"""Triangle counting: closed-form fixtures (FIXTURES.md §3), plan agreement
+(SQL three-way join vs Arrow kernel — the reference's own differential-test
+methodology, SURVEY.md §5), and per-edge support."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trianglecounting_spark.operators.triangles import (
+    clustering_coefficients,
+    triangle_count_kernel,
+    triangle_count_per_directed_edge_kernel,
+    triangle_count_sql,
+    triangle_per_edge_support,
+    wedge_count,
+)
+from trianglecounting_spark.operators.normalize import normalize_edges
+from trianglecounting_spark.sources import generators as g
+
+
+CASES = [
+    ("k10", lambda s: g.complete_graph(s, 10), 120),
+    ("cycle100", lambda s: g.cycle_graph(s, 100), 0),
+    ("star100", lambda s: g.star_graph(s, 100), 0),
+    ("two_cliques", lambda s: g.two_cliques_bridge(s), 40),
+    ("disjoint33", lambda s: g.disjoint_triangles(s, 33), 33),
+]
+
+
+@pytest.mark.parametrize("name,builder,expected", CASES)
+def test_closed_form_counts_sql(spark, name, builder, expected):
+    assert triangle_count_sql(builder(spark)).collect()[0].triangles == expected
+
+
+@pytest.mark.parametrize("name,builder,expected", CASES)
+def test_closed_form_counts_kernel(spark, name, builder, expected):
+    assert triangle_count_kernel(builder(spark)).collect()[0].triangles == expected
+
+
+def test_plans_agree_on_rmat(spark):
+    """Differential test on a power-law graph: the declarative plan and the
+    vectorized kernel must agree exactly (reference methodology: two engines
+    must agree, SURVEY.md §5)."""
+    e = normalize_edges(g.rmat_graph(spark, scale=9, edge_factor=8))
+    a = triangle_count_sql(e).collect()[0].triangles
+    b = triangle_count_kernel(e).collect()[0].triangles
+    assert a == b > 0
+
+
+def test_per_edge_support_k10(spark):
+    sup = triangle_per_edge_support(g.complete_graph(spark, 10)).collect()
+    assert len(sup) == 45
+    assert all(r.support == 8 for r in sup)
+
+
+def test_per_edge_support_sums_to_3x_triangles(spark):
+    e = normalize_edges(g.rmat_graph(spark, scale=8, edge_factor=8))
+    total = triangle_per_edge_support(e).agg(F.sum("support")).collect()[0][0]
+    tri = triangle_count_sql(e).collect()[0].triangles
+    assert total == 3 * tri
+
+
+def test_per_directed_edge_kernel_matches_global(spark):
+    e = g.two_cliques_bridge(spark)
+    per_edge = triangle_count_per_directed_edge_kernel(e)
+    assert per_edge.agg(F.sum("cnt")).collect()[0][0] == 40
+
+
+def test_wedges_and_clustering(spark):
+    # K4: 4 vertices deg 3 → wedges = 4*3 = 12; triangles = 4; each vertex in 3
+    e = g.complete_graph(spark, 4)
+    assert wedge_count(e).collect()[0].wedges == 12
+    cc = clustering_coefficients(e).collect()
+    assert all(r.tri == 3 and r.wedges_v == 3 for r in cc)
+
+
+def test_per_edge_support_matches_common_neighbor_join(spark):
+    """Regression: triangle corners come out in RANK order (deg,id), not id
+    order — support must still attach to the id-canonical edge. Independent
+    formula: |N(u) ∩ N(v)| via the symmetric adjacency two-join."""
+    from trianglecounting_spark.operators.normalize import undirect
+
+    e = normalize_edges(g.rmat_graph(spark, scale=7, edge_factor=6)).localCheckpoint(True)
+    sym = undirect(e)
+    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    expected = {
+        (r.u, r.v): r.s
+        for r in e.join(a, "u").join(b, ["v", "w"]).groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("s")).collect()
+    }
+    got = {(r.u, r.v): r.support for r in triangle_per_edge_support(e).collect()}
+    for k, v in got.items():
+        assert expected.get(k, 0) == v, k
+
+
+def test_kernel_partitioning_invariance(spark):
+    """Exact count must not depend on the partition count (north_rule)."""
+    e = normalize_edges(g.rmat_graph(spark, scale=8, edge_factor=8))
+    counts = {
+        triangle_count_kernel(e.repartition(n), num_partitions=n).collect()[0].triangles
+        for n in (1, 3, 16)
+    }
+    assert len(counts) == 1

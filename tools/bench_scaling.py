@@ -1,0 +1,85 @@
+"""Two-parallelism-level scaling benchmark → BENCH/BASELINE.md.
+
+The north_rule's N→4N executor criterion (efficiency ≥ 0.8) is evidenced in
+this sandbox by running the identical triangle-count job on the identical
+input at local[N] and local[4N] in separate JVMs (BASELINE.md: the Karypis
+KNL 10t→40t precedent is 0.97–0.98). Usage:
+    python tools/bench_scaling.py [--n 8] [--scale 17] [--edge-factor 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_worker(cores: int, scale: int, edge_factor: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
+         "--cores", str(cores), "--scale", str(scale), "--edge-factor", str(edge_factor)],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--scale", type=int, default=17)
+    ap.add_argument("--edge-factor", type=int, default=16)
+    args = ap.parse_args()
+    n, n4 = args.n, 4 * args.n
+
+    lo = run_worker(n, args.scale, args.edge_factor)
+    hi = run_worker(n4, args.scale, args.edge_factor)
+    assert lo["triangles"] == hi["triangles"], "parallelism changed the answer!"
+
+    rows = []
+    for name in ("kernel", "sql"):
+        speedup = lo[f"{name}_sec"] / hi[f"{name}_sec"]
+        eff = speedup / 4.0
+        rows.append((name, lo[f"{name}_sec"], hi[f"{name}_sec"], speedup, eff,
+                     lo[f"{name}_edges_per_sec"], hi[f"{name}_edges_per_sec"]))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = [
+        "# BENCH/BASELINE.md — two-parallelism-level scaling evidence",
+        "",
+        f"Identical job (exact triangle count, R-MAT scale={args.scale} "
+        f"edge_factor={args.edge_factor}, {lo['edges']:,} normalized edges, "
+        f"Δ = {lo['triangles']:,}) on identical input at local[{n}] vs local[{n4}] "
+        "— the sandbox stand-in for N vs 4N executors (BASELINE.json north_rule; "
+        "precedent: Karypis KNL 10t→40t = 0.97–0.98, BASELINE.md).",
+        "",
+        "| plan | local[{}] sec | local[{}] sec | speedup | efficiency | edges/s @{} | edges/s @{} |".format(n, n4, n, n4),
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, lo_s, hi_s, sp, eff, lo_eps, hi_eps in rows:
+        md.append(
+            f"| {name} | {lo_s:.2f} | {hi_s:.2f} | {sp:.2f}× | **{eff:.2f}** | "
+            f"{lo_eps:,.0f} | {hi_eps:,.0f} |"
+        )
+    md += [
+        "",
+        f"Triangles/sec @local[{n4}] (kernel): "
+        f"{lo['triangles'] / hi['kernel_sec']:,.0f}",
+        "",
+        "Pass bar: efficiency ≥ 0.8 (BASELINE.json). Exact count identical at "
+        "both levels (partitioning-invariance, integer accumulation only).",
+    ]
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps({"n": lo, "n4": hi, "efficiency_kernel": rows[0][4],
+                      "efficiency_sql": rows[1][4]}))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

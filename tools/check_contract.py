@@ -1,0 +1,113 @@
+"""Local simulator of the driver's correctness gate.
+
+Runs every oracle_sql() in DuckDB first (captures results), then every
+queries() entry in Spark, and compares row-count + column-name-sorted,
+order-insensitive values. Usage:
+    python tools/check_contract.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(x):
+    import math
+
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "nan"
+        return f"{x:.6f}"
+    if isinstance(x, bool):
+        return str(int(x))
+    return str(x)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["\x1f".join(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle_res = {}
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+            oracle_res[name] = (cols, rows, time.time() - t0)
+        except Exception as ex:
+            oracle_res[name] = ("ERROR", str(ex)[:300], time.time() - t0)
+    con.close()
+    print("oracle done:", {k: (len(v[1]) if v[0] != "ERROR" else "ERR") for k, v in oracle_res.items()}, flush=True)
+
+    from trianglecounting_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error {str(ex)[:300]}", flush=True)
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracle_res:
+            print(f"PASS(rows-only) {name}: {len(rows)} rows  [{dt:.1f}s]", flush=True)
+            continue
+        ocols, orows, odt = oracle_res[name]
+        if ocols == "ERROR":
+            print(f"FAIL {name}: oracle error {orows}", flush=True)
+            n_fail += 1
+            continue
+        if sorted(cols) != sorted(ocols):
+            print(f"FAIL {name}: schema {sorted(cols)} != {sorted(ocols)}", flush=True)
+            n_fail += 1
+            continue
+        a, b = canon(rows, cols), canon(orows, ocols)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rowcount {len(a)} != {len(b)}", flush=True)
+            n_fail += 1
+        elif a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: values differ, e.g. {diff}", flush=True)
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(a)} rows  [spark {dt:.1f}s, duck {odt:.1f}s]", flush=True)
+    print(f"done: {n_fail} failures", flush=True)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

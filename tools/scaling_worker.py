@@ -1,0 +1,70 @@
+"""Single scaling-run worker: triangle-count the bench graph at a given
+parallelism, print one JSON line. Invoked by tools/bench_scaling.py at two
+core counts (the sandbox stand-in for N vs 4N executors — see BASELINE.md)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--scale", type=int, default=17)
+    ap.add_argument("--edge-factor", type=int, default=16)
+    ap.add_argument("--sf-dir", default=None, help="use copart graph from parquet instead of R-MAT")
+    args = ap.parse_args()
+
+    from trianglecounting_spark.session import get_spark
+    from trianglecounting_spark.sources import generators as g
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.operators.triangles import (
+        triangle_count_kernel,
+        triangle_count_sql,
+    )
+
+    spark = get_spark(app_name=f"tc-scaling-{args.cores}", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.sf_dir:
+        edges = g.copart_graph(spark, args.sf_dir)
+    else:
+        edges = normalize_edges(g.rmat_graph(spark, args.scale, args.edge_factor))
+    # materialize the input once so the timed region is the counting pipeline
+    # (degree agg + orientation joins + adjacency + kernel), not input prep
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+
+    t0 = time.time()
+    tri_kernel = triangle_count_kernel(edges).collect()[0].triangles
+    t_kernel = time.time() - t0
+
+    t0 = time.time()
+    tri_sql = triangle_count_sql(edges).collect()[0].triangles
+    t_sql = time.time() - t0
+
+    assert tri_kernel == tri_sql, (tri_kernel, tri_sql)
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "edges": int(n_edges),
+                "triangles": int(tri_kernel),
+                "kernel_sec": round(t_kernel, 3),
+                "sql_sec": round(t_sql, 3),
+                "kernel_edges_per_sec": round(n_edges / t_kernel, 1),
+                "sql_edges_per_sec": round(n_edges / t_sql, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Deduplication operators over the `documents` table.
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — the core of
+any 100 TB pre-training corpus pipeline. Design rules:
+
+  * Everything that can be a Column expression is one (JVM, codegen).
+  * Hash functions must be *engine-portable* so DuckDB oracles verify them:
+    we derive all hashes from md5 (identical bytes in Spark and DuckDB), taking
+    the first 8 hex chars as a 32-bit integer. Slower than xxhash64 but
+    portable; the production path can swap the hash family without touching
+    the plan shape.
+  * LSH banding turns the O(n²) pair space into per-bucket joins — the scale
+    path. Bucket keys are (band_index, band_hash); a self-join on bucket keys
+    with doc_id< doc_id dedups candidate pairs.
+
+Mirrors no reference code (the reference is graph-only); cited pattern:
+shingle→minhash→band→bucket-join is the standard Broder construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Normalization shared by all dedup ops (and their SQL oracles, literally).
+_NORM_SQL = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _norm_col() -> F.Column:
+    return F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+def _h32(col: F.Column) -> F.Column:
+    """Portable 32-bit hash: first 8 hex chars of md5, as a long in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def _h32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Output (fp, n_dups, keep_id): one row per duplicated fingerprint, keeping
+    the minimum doc_id — the standard "keep one representative" policy.
+    """
+    return (
+        docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+EXACT_DEDUP_SQL = (
+    f"SELECT md5({_NORM_SQL}) AS fp, CAST(count(*) AS BIGINT) AS n_dups, "
+    "min(doc_id) AS keep_id FROM documents "
+    f"GROUP BY md5({_NORM_SQL}) HAVING count(*) > 1 ORDER BY fp"
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Distinct character k-shingles of the normalized text.
+    Output (doc_id, shingle). Exploded form — the minhash input."""
+    # substring(col, i, k) with a column start position needs the expr form:
+    sh = F.expr(
+        f"transform(sequence(1, greatest(length({_spark_norm_expr()}) - {k - 1}, 1)), "
+        f"i -> substring({_spark_norm_expr()}, i, {k}))"
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def _spark_norm_expr() -> str:
+    return r"trim(lower(regexp_replace(text, '\\s+', ' ')))"
+
+
+def minhash_signatures(docs: DataFrame, k: int = 5, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: for permutation i, min over shingles of
+    h32(i || shingle). Output (doc_id, sig: array<long> length num_hashes)."""
+    sh = shingles(docs, k)
+    mins = [
+        F.min(_h32(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 5, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    num_hashes/bands rows per band are concatenated and hashed to a bucket;
+    docs sharing any bucket become a candidate pair. Output (id_a, id_b) with
+    id_a < id_b, distinct. The self-join is per-bucket — never O(n²).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, k, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts).cast("binary")).alias("bkey"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    b2 = buckets.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    return (
+        a.join(b2, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _shingle_sql(k: int = 5) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length({_NORM_SQL}) - {k - 1}, 1) + 1), "
+        f"i -> substr({_NORM_SQL}, CAST(i AS INTEGER), {k})))"
+    )
+
+
+def minhash_lsh_pairs_sql(k: int = 5, num_hashes: int = 16, bands: int = 4) -> str:
+    rows_per_band = num_hashes // bands
+    min_exprs = ", ".join(
+        "min({h}) AS h{i}".format(h=_h32_sql(f"'{i}' || '|' || shingle"), i=i)
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '_' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + ") AS bkey FROM sig"
+        for b in range(bands)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, unnest({_shingle_sql(k)}) AS shingle FROM documents), "
+        f"sig AS (SELECT doc_id, {min_exprs} FROM sh GROUP BY doc_id), "
+        f"buckets AS ({band_selects}) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM buckets a "
+        "JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id "
+        "ORDER BY id_a, id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over word tokens: bit j of the hash of each token
+    votes ±1; sign of the total sets bit j. Output (doc_id, simhash: long)."""
+    toks = F.expr(
+        f"array_distinct(regexp_extract_all({_spark_norm_expr()}, '[a-z0-9\\']+', 0))"
+    )
+    t = docs.select("doc_id", F.explode(toks).alias("tok"))
+    h = _h32(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = t.groupBy("doc_id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return agg.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_sql(bits: int = 32) -> str:
+    tok_expr = f"list_distinct(regexp_extract_all({_NORM_SQL}, '[a-z0-9'']+'))"
+    h = _h32_sql("tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    acc = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return (
+        f"WITH t AS (SELECT doc_id, unnest({tok_expr}) AS tok FROM documents), "
+        f"v AS (SELECT doc_id, {votes} FROM t GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM v ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard on LSH candidates
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Exact character-k-gram Jaccard similarity for given candidate pairs.
+    Output (id_a, id_b, jaccard: double rounded 1e-6). Set ops via exploded
+    shingles + join-count (JVM) rather than array intersect on the driver."""
+    sh = shingles(docs, k)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_all_pairs_sql(k: int = 5, min_jaccard: float = 0.0) -> str:
+    """Oracle: exact k-gram Jaccard over ALL doc pairs sharing ≥1 shingle."""
+    return (
+        f"WITH sh AS (SELECT doc_id, unnest({_shingle_sql(k)}) AS shingle FROM documents), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT i.id_a, i.id_b, round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard "
+        "FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b "
+        f"WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= {min_jaccard} "
+        "ORDER BY id_a, id_b"
+    )
+
+
+def ngram_jaccard_all_pairs(docs: DataFrame, k: int = 5, min_jaccard: float = 0.0) -> DataFrame:
+    """Spark twin of the all-pairs oracle (shingle-join, not O(n²) crossjoin)."""
+    sh = shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(jac >= min_jaccard)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

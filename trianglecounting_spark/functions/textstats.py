@@ -1,0 +1,159 @@
+"""Text-analysis operators over the `documents` table — all JVM-side builtins.
+
+These are the web-text companions to the link-graph engine (a 100 TB
+Common-Crawl pipeline filters/scores documents before/alongside building the
+link graph). Every function is a pure Column expression — whole-stage codegen,
+no Python in the hot path — and each has a matching ANSI-SQL oracle string so
+the driver can verify byte-exact semantics in DuckDB.
+
+Determinism notes: anything float is rounded at a declared precision in both
+engines; token/character semantics use explicit regexes shared (literally, as
+strings) between the Spark and SQL forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# A deliberately simple, engine-portable word regex (ASCII-ish; avoids
+# regex-dialect divergence between Java and DuckDB/RE2).
+WORD_RE = "[A-Za-z0-9']+"
+
+# Tiny embedded stopword lists for the n-gram language heuristic.
+_STOP = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "it", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "pour"],
+    "es": ["el", "la", "de", "que", "los", "las", "por", "con", "una", "para"],
+}
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace/word tokens per document. Output (doc_id, n_tokens)."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), 0)
+    return docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+
+
+TOKEN_COUNT_SQL = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9'']+')) AS BIGINT) "
+    "AS n_tokens FROM documents ORDER BY doc_id"
+)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, word count, mean word length,
+    punctuation ratio, stopword ratio — the standard pre-training filters.
+    Floats rounded to 6 digits for oracle parity.
+    Output (doc_id, n_chars, n_words, mean_word_len, punct_ratio, stop_ratio).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    n_chars = F.length("text").cast("long")
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_punct = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", ""))
+    ).cast("long")
+    en_stops = F.array(*[F.lit(s) for s in _STOP["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en_stops, w)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(word_chars / F.greatest(n_words, F.lit(1)), 6).alias("mean_word_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 6).alias("stop_ratio"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[A-Za-z0-9'']+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_words,
+  round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS mean_word_len,
+  round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(CAST(len(list_filter(toks, w -> list_contains({_STOP['en']!r}, w))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS stop_ratio
+FROM t ORDER BY doc_id
+""".strip()
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: the language whose stopword list matches the
+    most tokens wins (ties → lexicographically first language, 'und' if zero
+    matches). Output (doc_id, lang_pred)."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+
+    def contains(stops):
+        # single-arg lambda factory: a 2-arg lambda would be interpreted by
+        # F.filter as (element, index)
+        return lambda w: F.array_contains(stops, w)
+
+    scores = []
+    for lang in sorted(_STOP):
+        stops = F.array(*[F.lit(s) for s in _STOP[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, contains(stops))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max by (hits, reversed-lang) would break ties toward z; we want first
+    # alphabetically, so compare hits first and keep earliest on ties via
+    # array_sort + element_at.
+    arr = F.array(*scores)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def _lang_sql_score(lang: str) -> str:
+    return (
+        f"len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9'']+'), "
+        f"w -> list_contains({_STOP[lang]!r}, w)))"
+    )
+
+
+LANGUAGE_ID_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(f"{_lang_sql_score(l)} AS h_{l}" for l in sorted(_STOP))
+    + " FROM documents) SELECT doc_id, CASE WHEN greatest("
+    + ", ".join(f"h_{l}" for l in sorted(_STOP))
+    + ") <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN h_{l} = greatest(" + ", ".join(f"h_{m}" for m in sorted(_STOP)) + f") THEN '{l}'"
+        for l in sorted(_STOP)
+    )
+    + " END AS lang_pred FROM s ORDER BY doc_id"
+)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the exact-dedup key and the per-url byte-identity
+    invariant check (input_hint). Output (doc_id, fp)."""
+    norm = F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+
+
+FINGERPRINT_SQL = (
+    "SELECT doc_id, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp "
+    "FROM documents ORDER BY doc_id"
+)

@@ -1,0 +1,79 @@
+"""Synchronous label propagation (community detection) — north_star algorithm.
+
+Deterministic variant so results are exactly reproducible across partitionings
+and match the SQL oracle (north_rule: exact equality):
+
+  label_0(v) = v
+  label_{k+1}(v) = the most frequent label among N(v)'s labels at step k,
+                   ties broken by smallest label; isolated semantics keep
+                   the previous label.
+
+The mode-with-min-tiebreak is one aggregation trick, all JVM-side:
+``max(struct(cnt, -label))`` picks max count then min label. Two shuffles per
+round (count by (v,label), then max by v). Runs a *fixed* round count — LP has
+no guaranteed fixpoint under synchronous updates (bipartite oscillation), so a
+fixed-round contract is both deterministic and oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from trianglecounting_spark.operators.normalize import undirect
+from trianglecounting_spark.plans.checkpoint import IterationCheckpointer
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    checkpointer: IterationCheckpointer | None = None,
+) -> DataFrame:
+    """Output: ``(v: long, label: long)`` after `rounds` synchronous rounds."""
+    sym = undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    start = 0
+    if checkpointer is not None:
+        restored = checkpointer.restore()
+        if restored is not None:
+            start, labels = restored
+    for k in range(start + 1, rounds + 1):
+        nbr_labels = sym.join(labels.withColumnRenamed("v", "src"), "src").select(
+            F.col("dst").alias("v"), "label"
+        )
+        counted = nbr_labels.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counted.groupBy("v").agg(
+            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))["neg"])
+            .cast("long")
+            .alias("label")
+        )
+        if checkpointer is not None:
+            labels = checkpointer.maybe_save(k, labels)
+    sym.unpersist()
+    return labels
+
+
+def label_propagation_unrolled_sql(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB oracle: identical fixed-round synchronous LP, mode with min
+    tie-break via row_number ordering (cnt DESC, label ASC)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM sym)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT s.dst AS v, p.label AS label, count(*) AS cnt "
+            f"FROM sym s JOIN l{k-1} p ON p.v = s.src GROUP BY s.dst, p.label)"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT v, label FROM (SELECT v, label, "
+            f"row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM c{k}) WHERE rn = 1)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v, CAST(label AS BIGINT) AS label FROM l{rounds} ORDER BY v"
+    )

@@ -1,0 +1,143 @@
+"""Edge-table normalization and degree-ordered orientation.
+
+These are the DataFrame re-expressions of the reference's preprocessing pipeline
+(`triangle-counting/pre_processing.h:8-66` canonicalize+sort+dedup,
+`triangle-counting/pre_processing_dodg.h:6-112` degree-ordered orientation,
+`triangle-counting/pre_processing.h:200-253` degree-descending renumbering).
+
+Everything here is pure Column expressions — Catalyst fuses the projection,
+self-loop filter, and dedup aggregate into two stages with partial aggregation,
+which is exactly the reference's hand-fused "Operator Fusion" pipeline
+(`triangle_counting_main.cpp:100-104`) done by the optimizer instead of by hand.
+
+Scale notes (100 TB / 10^12-edge deployment):
+  * ``normalize_edges`` is one hash-shuffle on (u, v) — unavoidable for exact
+    dedup, and the *only* full-edge shuffle before adjacency grouping.
+  * ``degrees`` uses explode + partial hash aggregation: map-side combine means
+    the shuffle carries at most one (vertex, partial_count) row per vertex per
+    partition, not one row per edge endpoint.
+  * ``orient_dodg`` joins the edge table with the degree table twice. The degree
+    table has |V| rows (~10^10 at full scale): too big to broadcast, so these are
+    shuffle joins on u and then v — Spark reuses the dedup shuffle's hash
+    partitioning on the first join when keys align. AQE handles hub skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalize_edges(raw: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Arbitrary multi-graph edge list → canonical simple undirected edge table.
+
+    Output: ``(u: long, v: long)`` with ``u < v``, distinct, no self-loops.
+    Mirrors the reference's canonicalize-swap (`pre_processing.h:22-27`),
+    self-loop predicate (`pre_processing.h:57`), and sorted-run dedup
+    (`pre_processing.h:52-63`) — except Spark needs no sort: ``dropDuplicates``
+    is a hash aggregate with map-side partial dedup.
+    """
+    s, d = F.col(src).cast("long"), F.col(dst).cast("long")
+    return (
+        raw.select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Canonical (u<v) edge table → both-direction directed edge table.
+
+    The reference's undirected CSR scatters each edge in both directions
+    (`pre_processing.h:141-149`); in Spark that's a union with the swapped
+    projection — no shuffle, it's a narrow transform.
+    Output: ``(src, dst)`` with both (u,v) and (v,u) present.
+    """
+    return edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex degree of the canonical undirected edge table.
+
+    Output ``(v: long, deg: long)``. Mirrors `EdgeListHistogram`
+    (`pre_processing.h:69-102`): both endpoints counted. The explode keeps it a
+    single scan; partial aggregation is Spark's version of the per-thread uint8
+    counter flush.
+    """
+    return (
+        edges.select(F.explode(F.array("u", "v")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def max_node_id(edges: DataFrame) -> DataFrame:
+    """Max vertex id (reference computes it inline during canonicalization,
+    `triangle_counting_main.cpp:76-82`). Output: 1 row ``(max_node_id: long)``."""
+    return edges.agg(F.max(F.greatest("u", "v")).alias("max_node_id"))
+
+
+def orient_dodg(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Degree-ordered directed graph: keep each undirected edge once, directed
+    from lower rank to higher rank, rank = (degree, vertex id).
+
+    Mirrors ``RankLT`` (`pre_processing_dodg.h:6-9`). This is the workload-
+    reduction rewrite Catalyst cannot know about (SURVEY.md §4): it guarantees
+    each triangle is enumerated exactly once and caps out-degree at O(√m),
+    which simultaneously bounds the adjacency-group size for the kernel —
+    built-in skew protection for power-law graphs.
+
+    Output: ``(src, dst)`` directed, src ranked below dst.
+    """
+    deg = deg if deg is not None else degrees(edges)
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("v").alias("v"), F.col("deg").alias("deg_v"))
+    j = edges.join(du, "u").join(dv, "v")
+    keep_uv = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    return j.select(
+        F.when(keep_uv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(keep_uv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+
+def adjacency(directed: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Directed edge table → sorted adjacency-list table (the DataFrame CSR).
+
+    Output: ``(src: long, nbrs: array<long> sorted ascending)`` — one CSR row
+    per DataFrame row (mirrors `graph_t`, `triangle-counting/util/graph.h:5-13`,
+    with the per-list sort of `pre_processing.h:190`).
+
+    On a DODG input the list length is bounded by O(√m), so no single group can
+    blow up an executor even on a power-law web graph; ``num_partitions`` lets
+    callers pin the partitioning so the downstream kernel join is co-partitioned.
+    """
+    grouped = directed if num_partitions is None else directed.repartition(num_partitions, "src")
+    return grouped.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+
+
+def rank_by_degree(deg: DataFrame, descending: bool = True) -> DataFrame:
+    """Dense rank permutation by degree: ``(v, new_id)`` with new_id in [0, |V|).
+
+    Mirrors ``ReorderDegDescending`` (`pre_processing.h:200-253`) / the Karypis
+    ascending counting-sort (`2017-karypis-hepc-tc/ptc.c:79-124`). In the
+    reference this buys cache locality + a dense hub id range for bitmap
+    packing; in Spark its use is hub identification (rank < K ⇒ broadcastable
+    hub set).
+
+    Implementation: global sort + per-partition offset rank — a window over the
+    whole table (`row_number().over(orderBy(...))`) would single-task; instead
+    we use ``zipWithIndex`` semantics via range-partitioned sort, which scales.
+    """
+    order = [F.col("deg").desc(), F.col("v").asc()] if descending else [
+        F.col("deg").asc(), F.col("v").asc()]
+    sorted_df = deg.sort(*order)
+    # monotonically_increasing_id is NOT dense; derive dense ids per partition
+    # via zipWithIndex on the range-partitioned sort (stable, deterministic).
+    rdd = sorted_df.select("v").rdd.map(lambda r: r[0]).zipWithIndex()
+    return rdd.toDF(["v", "new_id"]).select(
+        F.col("v").cast("long"), F.col("new_id").cast("long")
+    )

@@ -1,0 +1,95 @@
+"""PageRank over the undirected link graph — driver-side loop of join-agg steps.
+
+Absent from the reference (strictly a TC engine); mandated by the north_star.
+Idiomatic Spark: each iteration is one shuffle join (ranks ⋈ edges on src) and
+one partial+final aggregation (contributions by dst). No Python touches data.
+
+Determinism/parity: scores are doubles; the oracle comparison rounds to 1e-6
+(north_rule: allclose 1e-6). The iteration count is an explicit parameter so
+the DuckDB unrolled-SQL oracle computes the *same* function, not "until
+converged" (which is not a deterministic query).
+
+Scale notes (10^10-vertex web graph):
+  * ranks and degrees are |V|-row tables — shuffle joins, never broadcast.
+  * edges are re-used every iteration: persist (or read from the bucketed
+    Iceberg table) so the scan cost is paid once; the rank join then reuses
+    the same hash partitioning on src every iteration.
+  * lineage grows linearly with iterations → checkpoint every `ckpt_every`
+    (parquet/Iceberg snapshot, also the resume point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from trianglecounting_spark.operators.normalize import undirect
+from trianglecounting_spark.plans.checkpoint import IterationCheckpointer
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpointer: IterationCheckpointer | None = None,
+) -> DataFrame:
+    """`iterations` synchronous PageRank steps on the undirected simple graph.
+
+    rank_0(v) = 1/N;  rank_{k+1}(v) = (1-d)/N + d · Σ_{u ∈ N(v)} rank_k(u)/deg(u)
+
+    Undirected ⇒ no dangling mass (every vertex has out-edges).
+    Output: ``(v: long, score: double)``.
+    Resumable: pass a checkpointer; a restored snapshot skips completed steps.
+    """
+    sym = undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    out_deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sym_deg = sym.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    n = out_deg.count()  # also materializes sym
+    start = 0
+    ranks = out_deg.select(F.col("src").alias("v"), (F.lit(1.0) / n).alias("score"))
+    if checkpointer is not None:
+        restored = checkpointer.restore()
+        if restored is not None:
+            start, ranks = restored
+    for k in range(start + 1, iterations + 1):
+        contribs = (
+            sym_deg.join(ranks.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"), (F.col("score") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = contribs.select(
+            "v", (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("mass")).alias("score")
+        )
+        if checkpointer is not None:
+            ranks = checkpointer.maybe_save(k, ranks)
+        elif k % 5 == 0:
+            # truncate lineage so the plan doesn't accrete one join per step
+            ranks = ranks.localCheckpoint(eager=True)
+    sym.unpersist()
+    return ranks
+
+
+def pagerank_unrolled_sql(edges_sql: str, iterations: int = 10, damping: float = 0.85,
+                          ndigits: int = 6) -> str:
+    """The DuckDB oracle: the *same* fixed-iteration PageRank as unrolled ANSI
+    SQL over an edge CTE (u < v). Used by __spark_entry__.oracle_sql."""
+    d = damping
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e)",
+        "odeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM odeg)",
+        "r0 AS MATERIALIZED (SELECT src AS v, 1.0/(SELECT n FROM nn) AS score FROM odeg)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT s.dst AS v, "
+            f"(1.0 - {d})/(SELECT n FROM nn) + {d} * sum(r.score / o.deg) AS score "
+            f"FROM sym s JOIN odeg o ON o.src = s.src "
+            f"JOIN r{k-1} r ON r.v = s.src GROUP BY s.dst)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v, round(score, {ndigits}) AS score FROM r{iterations} ORDER BY v"
+    )

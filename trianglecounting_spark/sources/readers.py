@@ -1,0 +1,104 @@
+"""Edge-list source readers — Spark re-expressions of the reference's scans.
+
+S1/S2/S5 binary pair scan   → binaryFile source + Arrow decode
+S3 METIS text scan          → spark.read.text + posexplode
+S4 TSV (i j v) scan         → spark.read.csv
+
+All return a raw directed edge DataFrame (src: long, dst: long) to feed
+`normalize_edges`. Split-parallel IO, predicate pushdown, and column pruning
+come free from the DataFrame sources (the reference hand-rolls Direct IO with
+16 threads, `triangle-counting/triangle_counting_main.cpp:47-71`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_edges_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """The canonical source: a parquet/Iceberg edge table (src, dst)."""
+    return spark.read.parquet(path).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def read_edges_binary_pairs(spark: SparkSession, path: str, dtype: str = "<u4") -> DataFrame:
+    """Raw little-endian (u32,u32) pair files — the reference's `.bin` format
+    (`triangle_counting_main.cpp:42-43`: edge count inferred from file size).
+
+    spark.read.format("binaryFile") gives (path, content) rows; an Arrow
+    mapInPandas decodes each file's bytes with one numpy frombuffer — no
+    per-row Python. One file = one task; shard big graphs into many files
+    (the writer below does) for parallel scan.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                arr = np.frombuffer(content, dtype=np.dtype(dtype))
+                pairs = arr.reshape(-1, 2)
+                yield pd.DataFrame(
+                    {"src": pairs[:, 0].astype(np.int64), "dst": pairs[:, 1].astype(np.int64)}
+                )
+
+    return files.select("content").mapInPandas(decode, schema="src long, dst long")
+
+
+def write_edges_binary_pairs(edges: DataFrame, path: str, dtype: str = "<u4") -> None:
+    """Edge-list sink in the reference's raw pair format (S6,
+    `playground/output_remove_duplicate.cpp:123-147`) — one .bin shard per
+    partition, written executor-side."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    dt = dtype
+
+    def dump(index: int, it):
+        import numpy as _np
+
+        rows = list(it)
+        if rows:
+            arr = _np.array(rows, dtype=_np.int64).astype(_np.dtype(dt))
+            with open(os.path.join(path, f"part-{index:05d}.bin"), "wb") as f:
+                f.write(arr.tobytes())
+        return iter([])
+
+    edges.select("u", "v").rdd.map(tuple).mapPartitionsWithIndex(dump).count()
+
+
+def read_edges_metis(spark: SparkSession, path: str) -> DataFrame:
+    """METIS adjacency format (S3, `GKlib/graph.c:87-258`): line 1 = "nvtxs
+    nedges [fmt]", line i+1 = space-separated 1-based neighbor ids of vertex i.
+    Comment lines start with '%'. Returns 0-based directed edges (both
+    directions present, as the format stores them)."""
+    # Read whole (METIS line number = vertex id, so numbering must survive
+    # distribution); drop comment/blank lines BEFORE numbering, exactly like
+    # the reference's reader skips them pre-parse (GKlib/graph.c:118-124).
+    whole = spark.read.text(path, wholetext=True)
+    content = F.filter(
+        F.split(F.col("value"), "\n"),
+        lambda l: (~l.startswith("%")) & (F.trim(l) != ""),
+    )
+    split_lines = whole.select(
+        F.posexplode(content).alias("lineno", "line")
+    )
+    body = split_lines.where(F.col("lineno") > 0)
+    nbrs = body.select(
+        F.col("lineno").cast("long").alias("src"),  # 1-based vertex id
+        F.explode(F.split(F.trim(F.col("line")), r"\s+")).alias("dst_s"),
+    ).where(F.col("dst_s") != "")
+    return nbrs.select(
+        (F.col("src") - 1).alias("src"), (F.col("dst_s").cast("long") - 1).alias("dst")
+    )
+
+
+def read_edges_tsv(spark: SparkSession, path: str, sep: str = "\t") -> DataFrame:
+    """(i, j, v) triple format (S4, `GKlib/graph.c:267-340`); weight dropped
+    exactly as the reference frees it (`2017-karypis-hepc-tc/io.c:28-29`)."""
+    df = spark.read.csv(path, sep=sep, comment="%", schema="src LONG, dst LONG, w DOUBLE")
+    return df.select("src", "dst")

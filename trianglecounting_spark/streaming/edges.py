@@ -1,0 +1,68 @@
+"""Streaming ingestion: micro-batch edge normalization + windowed edge rates.
+
+The reference is strictly batch (SURVEY.md §2.6) — this module is the engine's
+forward-looking ingestion path for a crawl that *streams* pages/edges in: the
+same normalization semantics exposed over readStream, plus a watermarked
+windowed aggregation of edge-arrival rates. Exact global triangle counting
+stays a batch job over the checkpointed edge table (triangle count is not
+incrementally maintainable without O(m) state; the literature's streaming
+variants are approximate — REPT, see PAPERS.md — and the north_rule demands
+exact counts).
+
+Pattern: readStream (parquet/file source) → normalize columns →
+dropDuplicates within watermark → append to the canonical edge table;
+`foreachBatch` gives each micro-batch the full batch API (the dedup against
+the historical table is a per-batch anti-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def stream_raw_edges(spark: SparkSession, path: str, schema: str = "src long, dst long, ts timestamp") -> DataFrame:
+    """File-source stream of raw (src, dst, ts) rows."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def normalize_stream(raw: DataFrame) -> DataFrame:
+    """Same canonicalization as operators.normalize.normalize_edges, streaming:
+    projection + self-loop filter are stateless; duplicate suppression is
+    bounded by a watermark (exact global dedup happens at the batch sink)."""
+    out = raw.select(
+        F.least(F.col("src"), F.col("dst")).alias("u"),
+        F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        F.col("ts"),
+    ).where(F.col("u") != F.col("v"))
+    return out.withWatermark("ts", "10 minutes").dropDuplicates(["u", "v", "ts"])
+
+
+def edge_rate_per_window(raw: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Watermarked tumbling-window edge counts — the streaming metrics feed."""
+    return (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .select(F.col("w.start").alias("window_start"), "n_edges")
+    )
+
+
+def append_to_edge_table(stream: DataFrame, table_path: str, checkpoint: str) -> DataStreamWriter:
+    """foreachBatch sink: per micro-batch, anti-join against the existing edge
+    table then append — exact dedup across the whole history without keeping
+    unbounded state in the streaming query itself."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        edges = batch.select("u", "v").dropDuplicates(["u", "v"])
+        try:
+            existing = spark.read.parquet(table_path)
+            edges = edges.join(existing, ["u", "v"], "left_anti")
+        except Exception:
+            pass  # first batch: table doesn't exist yet
+        edges.write.mode("append").parquet(table_path)
+
+    return stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
