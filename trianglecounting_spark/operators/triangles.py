@@ -48,7 +48,10 @@ def triangle_count_sql(edges: DataFrame) -> DataFrame:
     a=x, b=y, c=z (DODG property, `pre_processing_dodg.h:6-9`).
     Output: one row ``(triangles: long)``.
     """
-    d = orient_dodg(edges)
+    # materialize the DODG once (lazy localCheckpoint): the three self-join
+    # branches would otherwise each recompute the degree aggregation and
+    # orientation joins — AQE does not reuse those exchanges across branches
+    d = orient_dodg(edges).localCheckpoint(eager=False)
     e1 = d.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = d.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = d.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -65,7 +68,7 @@ def triangle_enumerate(edges: DataFrame) -> DataFrame:
     Same join as ``triangle_count_sql`` without the final aggregate; feeds
     per-edge support and k-truss.
     """
-    d = orient_dodg(edges)
+    d = orient_dodg(edges).localCheckpoint(eager=False)
     e1 = d.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = d.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = d.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -153,6 +156,39 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 _GALLOP_RATIO = 8.0
 
 
+def _group_intersections(nbrs_u: np.ndarray, nb_arrays: list) -> np.ndarray:
+    """Vectorized per-edge intersection counts for one src group.
+
+    nbrs_u: sorted out-neighbors of u. nb_arrays: for each out-edge (u,v),
+    the sorted N⁺(v) (or None). One concatenated searchsorted + segment
+    reduceat — the whole group costs ~4 numpy calls, no per-row Python.
+    This is the batch analogue of the reference's per-vertex intersection
+    loop (`triangle_counting.h:69-116`) with numpy replacing SIMD.
+    """
+    lens = np.fromiter(
+        (0 if nb is None else len(nb) for nb in nb_arrays), dtype=np.int64,
+        count=len(nb_arrays),
+    )
+    total = int(lens.sum())
+    out = np.zeros(len(nb_arrays), dtype=np.int64)
+    if total == 0 or len(nbrs_u) == 0:
+        return out
+    flat = np.concatenate([nb for nb in nb_arrays if nb is not None and len(nb)])
+    idx = np.searchsorted(nbrs_u, flat)
+    idx[idx == len(nbrs_u)] = len(nbrs_u) - 1
+    hits = (nbrs_u[idx] == flat).astype(np.int64)
+    boundaries = np.zeros(len(nb_arrays), dtype=np.int64)
+    np.cumsum(lens[:-1], out=boundaries[1:])
+    nonempty = lens > 0
+    if nonempty.any():
+        # reduceat needs strictly valid segment starts; compute only for
+        # non-empty segments (empty ones stay 0)
+        starts = boundaries[nonempty]
+        seg = np.add.reduceat(hits, starts)
+        out[nonempty] = seg
+    return out
+
+
 def _intersect_count(a: np.ndarray, b: np.ndarray) -> int:
     """|a ∩ b| for sorted unique int64 arrays — numpy re-expression of the
     reference's merge (J4) / galloping (J5) intersectors."""
@@ -169,71 +205,277 @@ def _intersect_count(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.intersect1d(a, b, assume_unique=True).size)
 
 
-def _tc_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group kernel: all out-edges of one src vertex u, each row carrying
-    N⁺(dst) as ``nbrs``. N⁺(u) is exactly the group's dst column — the group
-    IS u's CSR row, so no second adjacency join is needed."""
-    u = pdf["src"].iloc[0]
-    nbrs_u = np.sort(pdf["dst"].to_numpy(dtype=np.int64))
-    total = 0
-    for nb in pdf["nbrs"]:
-        if nb is not None and len(nb) > 0:
-            total += _intersect_count(nbrs_u, np.asarray(nb, dtype=np.int64))
-    return pd.DataFrame({"src": [u], "tri_cnt": [total]})
+def _partition_views(tbl, hub_idx):
+    """One partition's (src, dst, nbrs) Arrow table → zero-copy numpy views.
 
-
-def _tc_kernel_per_edge(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group kernel emitting per-directed-edge counts (u, v, cnt)."""
-    nbrs_u = np.sort(pdf["dst"].to_numpy(dtype=np.int64))
-    out_v, out_c = [], []
-    for v, nb in zip(pdf["dst"], pdf["nbrs"]):
-        c = 0
-        if nb is not None and len(nb) > 0:
-            c = _intersect_count(nbrs_u, np.asarray(nb, dtype=np.int64))
-        out_v.append(v)
-        out_c.append(c)
-    return pd.DataFrame(
-        {"src": pdf["src"].to_numpy(), "dst": out_v, "cnt": np.asarray(out_c, dtype=np.int64)}
-    )
-
-
-def _edges_with_dst_adjacency(edges: DataFrame, num_partitions: int | None) -> DataFrame:
-    """DODG edges joined with the adjacency list of their *destination*.
-
-    One join instead of two: the kernel recovers N⁺(src) from the group itself.
-    Left join keeps sink vertices (empty N⁺(dst)) — they contribute 0.
+    Returns (srcs, dsts, j_offsets, j_values, hub_pos):
+      * j_values / j_offsets — the list column's raw Arrow buffers: this is
+        literally the reference's CSR (values = `adj`, offsets = `row_ptrs`,
+        `util/graph.h:11-12`) arriving over the wire. Spark's Arrow writer
+        repeats offsets at null rows, so a group's joined neighbor data is
+        the contiguous slice j_values[j_offsets[gs]:j_offsets[ge]] — no copy.
+      * hub_pos[i] — for null rows (hub destinations), the row's position in
+        the broadcast hub CSR (-1 when absent = true sink), resolved with one
+        vectorized searchsorted.
+    Nothing here is O(neighbor volume); peak extra memory is O(rows).
     """
-    d = orient_dodg(edges)
-    adj = adjacency(d, num_partitions)
+    srcs = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dsts = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    nb = tbl.column("nbrs")
+    if hasattr(nb, "combine_chunks"):
+        nb = nb.combine_chunks()
+    n = len(srcs)
+    j_offsets = np.asarray(nb.offsets).astype(np.int64, copy=False)
+    j_values = nb.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    valid = np.asarray(nb.is_valid())
+    hub_pos = np.full(n, -1, dtype=np.int64)
+    if hub_idx is not None and (~valid).any():
+        ids, _offs, _vals = hub_idx
+        if len(ids):
+            cand = dsts[~valid]
+            j = np.searchsorted(ids, cand)
+            j_clip = np.minimum(j, len(ids) - 1)
+            found = ids[j_clip] == cand
+            hub_pos[~valid] = np.where(found, j_clip, -1)
+    return srcs, dsts, j_offsets, j_values, hub_pos
+
+
+def _group_bounds(srcs: np.ndarray) -> np.ndarray:
+    """Segment boundaries of the (sorted) src column: [0, ..., n]."""
+    n = len(srcs)
+    changes = np.flatnonzero(srcs[1:] != srcs[:-1]) + 1
+    return np.concatenate((np.array([0], dtype=np.int64), changes,
+                           np.array([n], dtype=np.int64)))
+
+
+def _partition_table(batches):
+    """Concatenate a partition's Arrow batches into one table (the partition
+    is one CSR block; src groups are contiguous thanks to
+    sortWithinPartitions, and whole-partition processing needs no
+    batch-boundary carry logic). Returns None for an empty partition."""
+    import pyarrow as pa
+
+    rbs = [rb for rb in batches if rb.num_rows > 0]
+    if not rbs:
+        return None
+    return pa.Table.from_batches(rbs)
+
+
+def _hits(nbrs_u: np.ndarray, seg: np.ndarray) -> int:
+    """|{x ∈ seg : x ∈ nbrs_u}| for sorted nbrs_u — the intersection-count
+    primitive (numpy binary search ≈ the reference's galloping intersector
+    J5, `util/set_inter_cnt_utils.h:13-48`)."""
+    idx = np.searchsorted(nbrs_u, seg)
+    idx[idx == len(nbrs_u)] = len(nbrs_u) - 1
+    return int(np.count_nonzero(nbrs_u[idx] == seg))
+
+
+def _make_tc_partition(hub_bc):
+    """Whole-partition kernel (mapInArrow).
+
+    Per src group: one vectorized count over the group's *joined* neighbor
+    data (a contiguous zero-copy slice of the Arrow values buffer), plus one
+    vectorized count per *hub* row against the broadcast CSR (a view —
+    nothing is ever gathered/copied, so peak memory stays O(rows), immune to
+    wedge-volume skew). Emits one partial sum per partition."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        hub_idx = hub_bc.value if hub_bc is not None else None
+        tbl = _partition_table(batches)
+        total = 0
+        if tbl is not None:
+            srcs, dsts, j_offsets, j_values, hub_pos = _partition_views(tbl, hub_idx)
+            offs = vals = None
+            if hub_idx is not None:
+                _ids, offs, vals = hub_idx
+            hub_rows = np.flatnonzero(hub_pos >= 0)
+            bounds = _group_bounds(srcs)
+            lo = 0
+            for k in range(len(bounds) - 1):
+                gs, ge = bounds[k], bounds[k + 1]
+                nbrs_u = np.sort(dsts[gs:ge])
+                jseg = j_values[j_offsets[gs]:j_offsets[ge]]
+                if jseg.size:
+                    total += _hits(nbrs_u, jseg)
+                hi = np.searchsorted(hub_rows, ge, side="left")
+                if hi > lo:
+                    # batch the group's hub segments: views → one concat →
+                    # ONE vectorized search (per-row numpy dispatch would cost
+                    # ~40µs/row; this is volume-bound). Peak memory = one
+                    # group's hub volume ≤ outdeg(u)·max_hub_len — bounded.
+                    ps = hub_pos[hub_rows[lo:hi]]
+                    segs = [vals[offs[p]:offs[p + 1]] for p in ps]
+                    hseg = np.concatenate(segs) if len(segs) > 1 else segs[0]
+                    if hseg.size:
+                        total += _hits(nbrs_u, hseg)
+                lo = hi
+        yield pa.RecordBatch.from_pydict({"tri_cnt": pa.array([total], pa.int64())})
+
+    return run
+
+
+def _make_tc_partition_per_edge(hub_bc):
+    def run(batches):
+        import pyarrow as pa
+
+        hub_idx = hub_bc.value if hub_bc is not None else None
+        tbl = _partition_table(batches)
+        if tbl is None:
+            return
+        srcs, dsts, j_offsets, j_values, hub_pos = _partition_views(tbl, hub_idx)
+        offs = vals = None
+        if hub_idx is not None:
+            _ids, offs, vals = hub_idx
+        counts = np.zeros(len(srcs), dtype=np.int64)
+        hub_rows = np.flatnonzero(hub_pos >= 0)
+        bounds = _group_bounds(srcs)
+        lo = 0
+        for k in range(len(bounds) - 1):
+            gs, ge = bounds[k], bounds[k + 1]
+            base = j_offsets[gs]
+            jseg = j_values[base:j_offsets[ge]]
+            nbrs_u = np.sort(dsts[gs:ge])
+            if jseg.size:
+                idx = np.searchsorted(nbrs_u, jseg)
+                idx[idx == len(nbrs_u)] = len(nbrs_u) - 1
+                h = (nbrs_u[idx] == jseg).astype(np.int64)
+                starts = (j_offsets[gs:ge] - base).astype(np.int64)
+                lens = np.diff(j_offsets[gs:ge + 1])
+                nonempty = lens > 0
+                if nonempty.any():
+                    counts[gs:ge][nonempty] = np.add.reduceat(h, starts[nonempty])
+            hi = np.searchsorted(hub_rows, ge, side="left")
+            if hi > lo:
+                rows_here = hub_rows[lo:hi]
+                ps = hub_pos[rows_here]
+                segs = [vals[offs[p]:offs[p + 1]] for p in ps]
+                hseg = np.concatenate(segs) if len(segs) > 1 else segs[0]
+                if hseg.size:
+                    idx = np.searchsorted(nbrs_u, hseg)
+                    idx[idx == len(nbrs_u)] = len(nbrs_u) - 1
+                    h = (nbrs_u[idx] == hseg).astype(np.int64)
+                    seg_lens = (offs[ps + 1] - offs[ps]).astype(np.int64)
+                    starts = np.zeros(len(ps), dtype=np.int64)
+                    np.cumsum(seg_lens[:-1], out=starts[1:])
+                    ne = seg_lens > 0
+                    if ne.any():
+                        counts[rows_here[ne]] = np.add.reduceat(h, starts[ne])
+            lo = hi
+        yield pa.RecordBatch.from_pydict(
+            {"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64()),
+             "cnt": pa.array(counts, pa.int64())}
+        )
+
+    return run
+
+
+def _edges_with_dst_adjacency(
+    edges: DataFrame, num_partitions: int | None, hub_k: int = 65536
+):
+    """DODG edges joined with the adjacency list of their *destination*,
+    co-partitioned + sorted by src for the partition kernel, with the hub
+    path: the top-``hub_k`` destinations by DODG in-degree are EXCLUDED from
+    the join and their (short — high rank ⇒ low out-degree) adjacency lists
+    broadcast instead.
+
+    Rationale: the join replicates N⁺(dst) once per in-edge of dst, i.e.
+    Σ indeg·outdeg = the wedge count — the dominant data volume on power-law
+    graphs, concentrated on high-in-degree hubs. Broadcasting those lists is
+    the re-expression of the reference's dense-hub-range bitmap/packed-words
+    strategy (J2/J3, `triangle_counting.h:9,11-34`): pay O(hub lists) once per
+    executor instead of once per edge.
+
+    Left join keeps sink vertices (empty N⁺(dst)) — they contribute 0. The
+    final repartition(src) + sortWithinPartitions(src) makes every src group
+    contiguous — the DataFrame analogue of the reference's CSR row layout
+    (`util/graph.h:11-12`).
+
+    Returns (laid_out_df, hub_broadcast_or_None).
+    """
+    spark = edges.sparkSession
+    d = orient_dodg(edges).localCheckpoint(eager=False)
+    # adjacency is referenced by the hub-collect job AND the kernel job —
+    # materialize once (lazy localCheckpoint), don't rebuild the collect_list
+    adj = adjacency(d, num_partitions).localCheckpoint(eager=False)
+    hub_bc = None
     adj_dst = adj.select(F.col("src").alias("dst"), F.col("nbrs"))
+    if hub_k > 0:
+        # top-K destinations by in-degree (TakeOrderedAndProject — per-
+        # partition top-K then a K-row driver merge, no global sort), gated
+        # by a minimum in-degree so only lists whose broadcast saves ≥8×
+        # their replication are shipped. K bounds executor broadcast memory:
+        # worst case K·O(√m) longs; in practice high-in-degree ⇒ high rank ⇒
+        # short out-list (measured: 65536 hubs ≈ 48 MB at m = 7.7M edges
+        # while absorbing 99.3% of join replication).
+        hubs = (
+            d.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+            .where(F.col("indeg") >= 8)
+            .orderBy(F.col("indeg").desc(), F.col("dst").asc())
+            .limit(hub_k)
+            .select("dst")
+            # reused by the hub-collect job and the kernel job's anti-join
+            .localCheckpoint(eager=False)
+        )
+        # collect the hub CSR through Arrow as two FLAT int columns (explode)
+        # — a row-object collect of 65k list rows costs tens of seconds of
+        # single-threaded driver work; this is two zero-copy numpy columns
+        flat_pdf = (
+            adj.join(hubs.withColumnRenamed("dst", "src"), "src")
+            .select("src", F.explode("nbrs").alias("nbr"))
+            .sort("src", "nbr")
+            .toPandas()
+        )
+        hub_srcs = flat_pdf["src"].to_numpy(dtype=np.int64)
+        values = flat_pdf["nbr"].to_numpy(dtype=np.int64)
+        if len(hub_srcs):
+            ids, first_idx = np.unique(hub_srcs, return_index=True)
+            offsets = np.concatenate((first_idx, [len(hub_srcs)])).astype(np.int64)
+        else:
+            ids = np.empty(0, dtype=np.int64)
+            offsets = np.zeros(1, dtype=np.int64)
+        # hubs with empty out-lists vanish in the explode — a kernel lookup
+        # miss means empty, which is exactly right
+        hub_bc = spark.sparkContext.broadcast((ids, offsets, values))
+        adj_dst = adj_dst.join(
+            hubs.hint("broadcast"), "dst", "left_anti"
+        )
+        # note: hub dsts now miss the join → nbrs NULL → kernel consults the
+        # broadcast CSR; genuine sinks are in neither → count 0 either way.
     joined = d.join(adj_dst, "dst", "left")
     if num_partitions is not None:
         joined = joined.repartition(num_partitions, "src")
-    return joined
+    else:
+        joined = joined.repartition("src")
+    return joined.sortWithinPartitions("src"), hub_bc
 
 
 def triangle_count_kernel(
-    edges: DataFrame, num_partitions: int | None = None
+    edges: DataFrame, num_partitions: int | None = None, hub_k: int = 65536
 ) -> DataFrame:
     """Global exact triangle count via the vectorized intersection kernel.
 
-    Physical plan: DODG → adjacency (one shuffle) → edges ⋈ adj on dst (one
-    shuffle, AQE-skew-split) → groupBy(src) applyInPandas (one shuffle) → sum.
-    Mirrors `CountTriBMPAndMergeWithPackDODG` (`triangle_counting.h:36-129`)
-    with numpy replacing SIMD intrinsics. Output: one row ``(triangles: long)``.
+    Physical plan: DODG → adjacency (one shuffle) → hub split (broadcast of
+    top-in-degree adjacency, J2/J3 analogue) → edges ⋈ non-hub adj on dst
+    (one shuffle, AQE-skew-split) → repartition+sort by src → mapInPandas
+    partial sums → final sum over ≤ num_partitions rows. Mirrors
+    `CountTriBMPAndMergeWithPackDODG` (`triangle_counting.h:36-129`) with
+    numpy replacing SIMD intrinsics and map-side partial aggregation replacing
+    the OpenMP reduction. Output: one row ``(triangles: long)``.
     """
-    grouped = _edges_with_dst_adjacency(edges, num_partitions).groupBy("src")
-    per_vertex = grouped.applyInPandas(_tc_kernel, schema="src long, tri_cnt long")
-    return per_vertex.agg(F.sum("tri_cnt").cast("long").alias("triangles"))
+    laid_out, hub_bc = _edges_with_dst_adjacency(edges, num_partitions, hub_k)
+    partials = laid_out.mapInArrow(_make_tc_partition(hub_bc), schema="tri_cnt long")
+    return partials.agg(F.sum("tri_cnt").cast("long").alias("triangles"))
 
 
 def triangle_count_per_directed_edge_kernel(
-    edges: DataFrame, num_partitions: int | None = None
+    edges: DataFrame, num_partitions: int | None = None, hub_k: int = 65536
 ) -> DataFrame:
     """Per-DODG-edge intersection counts ``(src, dst, cnt)`` — the kernel
     analogue of the reference's per-edge loop body, and the base quantity the
     per-edge support explode starts from."""
-    grouped = _edges_with_dst_adjacency(edges, num_partitions).groupBy("src")
-    return grouped.applyInPandas(
-        _tc_kernel_per_edge, schema="src long, dst long, cnt long"
+    laid_out, hub_bc = _edges_with_dst_adjacency(edges, num_partitions, hub_k)
+    return laid_out.mapInArrow(
+        _make_tc_partition_per_edge(hub_bc), schema="src long, dst long, cnt long"
     )

@@ -78,9 +78,10 @@ def rmat_graph(spark: SparkSession, scale: int, edge_factor: int = 8, seed: int 
     u = F.lit(0).cast("long")
     v = F.lit(0).cast("long")
     # R-MAT (a,b,c,d) = (0.57, 0.19, 0.19, 0.05): per bit choose a quadrant.
+    # One xxhash64 yields four 16-bit draws — 4 levels per hash call.
     for bit in range(scale):
-        h = F.xxhash64(F.lit(seed), F.col("id"), F.lit(bit))
-        r = F.pmod(h, F.lit(10000)) / F.lit(10000.0)
+        h = F.xxhash64(F.lit(seed), F.col("id"), F.lit(bit // 4))
+        r = F.shiftright(h, 16 * (bit % 4)).bitwiseAND(F.lit(0xFFFF)) / F.lit(65536.0)
         in_a = r < 0.57
         in_b = (r >= 0.57) & (r < 0.76)
         in_c = (r >= 0.76) & (r < 0.95)
