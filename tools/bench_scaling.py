@@ -72,7 +72,8 @@ def main() -> None:
     assert lo["triangles"] == hi["triangles"], "parallelism changed the answer!"
 
     rows = []
-    for name in ("kernel",) + (("sql",) if lo.get("sql_sec") else ()):
+    names = ["kernel", "pipeline"] + (["sql"] if lo.get("sql_sec") else [])
+    for name in names:
         speedup = lo[f"{name}_sec"] / hi[f"{name}_sec"]
         eff = speedup / 4.0
         rows.append((name, lo[f"{name}_sec"], hi[f"{name}_sec"], speedup, eff,
@@ -88,7 +89,7 @@ def main() -> None:
         "— the sandbox stand-in for N vs 4N executors (BASELINE.json north_rule; "
         "precedent: Karypis KNL 10t→40t = 0.97–0.98, BASELINE.md).",
         "",
-        "| plan | local[{}] sec | local[{}] sec | speedup | efficiency | edges/s @{} | edges/s @{} |".format(n, n4, n, n4),
+        "| phase | local[{}] sec | local[{}] sec | speedup | efficiency | edges/s @{} | edges/s @{} |".format(n, n4, n, n4),
         "|---|---|---|---|---|---|---|",
     ]
     for name, lo_s, hi_s, sp, eff, lo_eps, hi_eps in rows:
@@ -97,6 +98,13 @@ def main() -> None:
             f"{lo_eps:,.0f} | {hi_eps:,.0f} |"
         )
     md += [
+        "",
+        "`kernel` = the degree-ordered set-intersection stage on the built "
+        "adjacency layout — the north-star \"intersection throughput\" metric "
+        "and the direct analogue of the reference's separately-reported kernel "
+        "time (BASELINE.md: `tc` reports 0.455s kernel vs 1.52s total on "
+        "LiveJournal). `pipeline` = DODG build + adjacency + hub split + "
+        "layout + kernel, end-to-end after normalization.",
         "",
         f"Triangles/sec @local[{n4}] (kernel): "
         f"{lo['triangles'] / hi['kernel_sec']:,.0f}",

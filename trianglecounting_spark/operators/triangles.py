@@ -84,14 +84,18 @@ def triangle_per_edge_support(edges: DataFrame) -> DataFrame:
     Output: ``(u, v, support: long)`` for every edge, u < v (support 0 kept).
     """
     tris = triangle_enumerate(edges)
-    # corners are in RANK order (deg, id) — canonicalize each incidence pair
-    # by id so it joins the (u < v by id) edge table
+    # One explode, not a 3-way union: a union would re-execute the triangle
+    # join once per branch. Corners are in RANK order (deg, id) — canonicalize
+    # each incidence pair by id so it joins the (u < v by id) edge table.
     def pair(x, y):
-        return tris.select(F.least(x, y).alias("u"), F.greatest(x, y).alias("v"))
+        return F.struct(
+            F.least(F.col(x), F.col(y)).alias("u"),
+            F.greatest(F.col(x), F.col(y)).alias("v"),
+        )
 
-    incidences = (
-        pair("a", "b").unionAll(pair("a", "c")).unionAll(pair("b", "c"))
-    )
+    incidences = tris.select(
+        F.explode(F.array(pair("a", "b"), pair("a", "c"), pair("b", "c"))).alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
     support = incidences.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("support")
     )
@@ -125,10 +129,9 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     from trianglecounting_spark.operators.normalize import degrees
 
     tris = triangle_enumerate(edges)
+    # explode, not union — a union would re-run the triangle join per branch
     per_vertex_tri = (
-        tris.select(F.col("a").alias("v"))
-        .unionAll(tris.select(F.col("b").alias("v")))
-        .unionAll(tris.select(F.col("c").alias("v")))
+        tris.select(F.explode(F.array("a", "b", "c")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("tri"))
     )
@@ -402,22 +405,24 @@ def _edges_with_dst_adjacency(
     hub_bc = None
     adj_dst = adj.select(F.col("src").alias("dst"), F.col("nbrs"))
     if hub_k > 0:
-        # top-K destinations by in-degree (TakeOrderedAndProject — per-
-        # partition top-K then a K-row driver merge, no global sort), gated
-        # by a minimum in-degree so only lists whose broadcast saves ≥8×
-        # their replication are shipped. K bounds executor broadcast memory:
-        # worst case K·O(√m) longs; in practice high-in-degree ⇒ high rank ⇒
-        # short out-list (measured: 65536 hubs ≈ 48 MB at m = 7.7M edges
-        # while absorbing 99.3% of join replication).
-        hubs = (
-            d.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
-            .where(F.col("indeg") >= 8)
-            .orderBy(F.col("indeg").desc(), F.col("dst").asc())
-            .limit(hub_k)
-            .select("dst")
-            # reused by the hub-collect job and the kernel job's anti-join
-            .localCheckpoint(eager=False)
-        )
+        # Hub selection by in-degree THRESHOLD, not top-K: orderBy().limit(K)
+        # merges num_partitions·K candidate rows single-threaded on the
+        # driver (~tens of seconds of serial time at K=65536 — measured as
+        # the dominant Amdahl term). A threshold filter is fully distributed;
+        # indeg ≥ 8 means each broadcast list saves ≥8× its own size in join
+        # replication. If the threshold admits more than hub_k vertices, an
+        # approximate quantile raises it so executor broadcast memory stays
+        # bounded (worst case hub_k·O(√m) longs; in practice high in-degree ⇒
+        # high rank ⇒ short out-list: 65k hubs ≈ 48 MB at m = 7.7M while
+        # absorbing 99.3% of replication).
+        indeg = d.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+        candidates = indeg.where(F.col("indeg") >= 8).localCheckpoint(eager=False)
+        n_cand = candidates.count()
+        if n_cand > hub_k:
+            frac = 1.0 - hub_k / float(n_cand)
+            thresh = candidates.approxQuantile("indeg", [frac], 0.01)[0]
+            candidates = candidates.where(F.col("indeg") >= thresh)
+        hubs = candidates.select("dst").localCheckpoint(eager=False)
         # collect the hub CSR through Arrow as two FLAT int columns (explode)
         # — a row-object collect of 65k list rows costs tens of seconds of
         # single-threaded driver work; this is two zero-copy numpy columns
