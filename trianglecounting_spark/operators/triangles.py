@@ -83,7 +83,9 @@ def triangle_per_edge_support(edges: DataFrame) -> DataFrame:
     per-edge explode is our extension required for k-truss (north_star).
     Output: ``(u, v, support: long)`` for every edge, u < v (support 0 kept).
     """
-    tris = triangle_enumerate(edges)
+    # kernel-based enumeration (the SMJ enumerate is ~4× slower; it remains
+    # the differential oracle via the SQL path)
+    tris = triangle_enumerate_kernel(edges)
     # One explode, not a 3-way union: a union would re-execute the triangle
     # join once per branch. Corners are in RANK order (deg, id) — canonicalize
     # each incidence pair by id so it joins the (u < v by id) edge table.
@@ -372,6 +374,91 @@ def _make_tc_partition_per_edge(hub_bc):
         )
 
     return run
+
+
+def _make_tc_partition_enumerate(hub_bc):
+    """Kernel variant that EMITS each triangle once as (a, b, c):
+    a = src, b = dst, c = the matched common out-neighbor. The materialized
+    output is exactly one row per triangle — the kernel analogue of the
+    declarative ``triangle_enumerate`` without the three-way sort-merge join.
+    """
+
+    def run(batches):
+        import pyarrow as pa
+
+        hub_idx = hub_bc.value if hub_bc is not None else None
+        tbl = _partition_table(batches)
+        if tbl is None:
+            return
+        srcs, dsts, j_offsets, j_values, hub_pos = _partition_views(tbl, hub_idx)
+        offs = vals = None
+        if hub_idx is not None:
+            _ids, offs, vals = hub_idx
+        hub_rows = np.flatnonzero(hub_pos >= 0)
+        bounds = _group_bounds(srcs)
+        out_a, out_b, out_c = [], [], []
+        lo = 0
+        for k in range(len(bounds) - 1):
+            gs, ge = bounds[k], bounds[k + 1]
+            nbrs_u = np.sort(dsts[gs:ge])
+            base = j_offsets[gs]
+            jseg = j_values[base:j_offsets[ge]]
+            if jseg.size:
+                idx = np.searchsorted(nbrs_u, jseg)
+                idx[idx == len(nbrs_u)] = len(nbrs_u) - 1
+                hit = nbrs_u[idx] == jseg
+                if hit.any():
+                    pos = np.flatnonzero(hit)
+                    # row attribution: position → owning row via offsets
+                    row = np.searchsorted(j_offsets[gs:ge + 1], base + pos, side="right") - 1 + gs
+                    out_a.append(srcs[row])
+                    out_b.append(dsts[row])
+                    out_c.append(jseg[pos])
+            hi = np.searchsorted(hub_rows, ge, side="left")
+            if hi > lo:
+                rows_here = hub_rows[lo:hi]
+                ps = hub_pos[rows_here]
+                segs = [vals[offs[p]:offs[p + 1]] for p in ps]
+                hseg = np.concatenate(segs) if len(segs) > 1 else segs[0]
+                if hseg.size:
+                    idx = np.searchsorted(nbrs_u, hseg)
+                    idx[idx == len(nbrs_u)] = len(nbrs_u) - 1
+                    hit = nbrs_u[idx] == hseg
+                    if hit.any():
+                        pos = np.flatnonzero(hit)
+                        seg_lens = (offs[ps + 1] - offs[ps]).astype(np.int64)
+                        seg_starts = np.zeros(len(ps) + 1, dtype=np.int64)
+                        np.cumsum(seg_lens, out=seg_starts[1:])
+                        row = rows_here[
+                            np.searchsorted(seg_starts, pos, side="right") - 1
+                        ]
+                        out_a.append(srcs[row])
+                        out_b.append(dsts[row])
+                        out_c.append(hseg[pos])
+            lo = hi
+        if out_a:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "a": pa.array(np.concatenate(out_a), pa.int64()),
+                    "b": pa.array(np.concatenate(out_b), pa.int64()),
+                    "c": pa.array(np.concatenate(out_c), pa.int64()),
+                }
+            )
+
+    return run
+
+
+def triangle_enumerate_kernel(
+    edges: DataFrame, num_partitions: int | None = None, hub_k: int = 65536
+) -> DataFrame:
+    """Materialize each triangle once as (a, b, c) in rank order — via the
+    vectorized intersection kernel instead of the three-way sort-merge join
+    (the SMJ streams the full wedge-candidate volume through two shuffles;
+    the kernel touches it in-place against Arrow buffers)."""
+    laid_out, hub_bc = _edges_with_dst_adjacency(edges, num_partitions, hub_k)
+    return laid_out.mapInArrow(
+        _make_tc_partition_enumerate(hub_bc), schema="a long, b long, c long"
+    )
 
 
 def _edges_with_dst_adjacency(
