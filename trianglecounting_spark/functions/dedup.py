@@ -82,13 +82,35 @@ def _spark_norm_expr() -> str:
     return r"trim(lower(regexp_replace(text, '\\s+', ' ')))"
 
 
+# Universal-hash permutation constants over the 2^31−1 Mersenne prime —
+# portable integer arithmetic in Spark AND SQL (products stay < 2^62, safe
+# under ANSI int64), so ONE md5 per shingle replaces num_hashes md5 calls.
+_MH_PRIME = (1 << 31) - 1
+
+
+def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = 1 + int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16) % (_MH_PRIME - 1)
+        b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16) % _MH_PRIME
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(docs: DataFrame, k: int = 5, num_hashes: int = 16) -> DataFrame:
-    """MinHash signature per doc: for permutation i, min over shingles of
-    h32(i || shingle). Output (doc_id, sig: array<long> length num_hashes)."""
-    sh = shingles(docs, k)
+    """MinHash signature per doc: base hash h0 = h32(shingle) mod (2^31−1)
+    (one md5), then permutation i = (a_i·h0 + b_i) mod (2^31−1) — the standard
+    universal-hash family. Output (doc_id, sig: array<long>)."""
+    sh = shingles(docs, k).withColumn(
+        "h0", F.pmod(_h32(F.col("shingle")), F.lit(_MH_PRIME))
+    )
     mins = [
-        F.min(_h32(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(
+            F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(_MH_PRIME))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(_mh_params(num_hashes))
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
@@ -135,9 +157,10 @@ def _shingle_sql(k: int = 5) -> str:
 
 def minhash_lsh_pairs_sql(k: int = 5, num_hashes: int = 16, bands: int = 4) -> str:
     rows_per_band = num_hashes // bands
+    h0 = f"({_h32_sql('shingle')} % {_MH_PRIME})"
     min_exprs = ", ".join(
-        "min({h}) AS h{i}".format(h=_h32_sql(f"'{i}' || '|' || shingle"), i=i)
-        for i in range(num_hashes)
+        f"min(({a} * {h0} + {b}) % {_MH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_mh_params(num_hashes))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("

@@ -9,20 +9,24 @@ hand-picked physical intersection strategies (SURVEY.md §2.5, J3–J7). Here:
    This is the *idiomatic Spark* strategy and the differential oracle.
 
 2. ``triangle_count_kernel`` — the reference-mirroring plan: co-partitioned
-   adjacency lists + an Arrow-vectorized numpy intersection kernel
-   (`applyInPandas`), with the size-ratio dispatch between sorted-merge
-   (`SetInterCntVecMerge`, `util/set_inter_cnt_utils.h:375-386`) and galloping
-   (`SetInterLookup`, `util/set_inter_cnt_utils.h:13-48`) re-expressed as
-   ``np.intersect1d`` vs ``np.searchsorted``.
+   adjacency lists + an Arrow-native numpy intersection kernel (`mapInArrow`
+   over zero-copy list buffers = the reference's CSR arriving over the wire),
+   with the hub path re-expressing the dense-range bitmap/packed-words
+   strategy (J2/J3) as a broadcast flat-CSR, and ``np.searchsorted`` standing
+   in for the galloping intersector (J5, `util/set_inter_cnt_utils.h:13-48`).
+   ``triangle_enumerate_kernel`` additionally emits triangle corners — the
+   per-edge-support / k-truss input.
 
 Both return exact LongType counts — integer end-to-end, so results are
 partitioning-invariant (no FP accumulation; north_rule requires exact parity).
 
 Scale notes: on the DODG, out-degree ≤ O(√m), so (a) adjacency groups are
-bounded, (b) the kernel's per-group work is bounded, (c) the nbrs-array
-replication in the join is at most √m copies of a √m-length list per hub.
-The three-way-join plan shuffles wedge candidates (Σ deg⁺(v)² rows) — DODG
-orientation is precisely what keeps that tractable on power-law graphs.
+bounded and (b) the kernel's per-group work is bounded. The dominant data
+volume is Σ indeg·outdeg (the wedge count) of N⁺(dst) replication through the
+join; the hub broadcast removes ~99% of it on power-law graphs, and the
+kernel scans what remains in place (no gathers), so peak task memory is
+O(rows) regardless of wedge skew. The three-way-join plan shuffles the full
+wedge-candidate volume — kept as the declarative differential oracle.
 """
 
 from __future__ import annotations
