@@ -30,7 +30,15 @@ def label_propagation(
     checkpointer: IterationCheckpointer | None = None,
 ) -> DataFrame:
     """Output: ``(v: long, label: long)`` after `rounds` synchronous rounds."""
-    sym = undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pre-partition the big side by the join key: per-round joins then only
+    # shuffle the |V|-row label table (see pagerank.py)
+    sym = (
+        undirect(edges)
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     labels = sym.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )

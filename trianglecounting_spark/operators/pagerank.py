@@ -41,10 +41,20 @@ def pagerank(
     Output: ``(v: long, score: double)``.
     Resumable: pass a checkpointer; a restored snapshot skips completed steps.
     """
-    sym = undirect(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = undirect(edges)
     out_deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    sym_deg = sym.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    n = out_deg.count()  # also materializes sym
+    # pre-partition the (big) edge side by the join key and cache it: every
+    # iteration's rank join then reuses this distribution and only the
+    # (|V|-row) rank table shuffles — 1 big exchange total instead of 1 per
+    # iteration
+    sym_deg = (
+        sym.join(out_deg, "src")
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = out_deg.count()
     start = 0
     ranks = out_deg.select(F.col("src").alias("v"), (F.lit(1.0) / n).alias("score"))
     if checkpointer is not None:
