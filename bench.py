@@ -44,6 +44,12 @@ def main() -> None:
     stats: dict[str, float] = {}
 
     def timed(name, fn):
+        # release the previous query's localCheckpoint blocks before timing:
+        # the ContextCleaner frees them only after Python GC drops the refs
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         out = fn()
         queries[name] = round(time.time() - t0, 3)
