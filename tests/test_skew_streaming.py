@@ -39,10 +39,34 @@ def test_capped_adjacency_splits_hubs(spark):
     directed = e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     adj = capped_adjacency(directed, cap=100).collect()
     hub_rows = [r for r in adj if r.src == 0]
-    assert len(hub_rows) == 3  # 299 neighbors split into 3 chunks of ≤100
+    assert len(hub_rows) == 3  # 299 neighbors hash-spread over ⌈299/100⌉ chunks
     all_nbrs = sorted(x for r in hub_rows for x in r.nbrs)
-    assert all_nbrs == list(range(1, 300))
-    assert all(len(r.nbrs) <= 100 for r in adj)
+    assert all_nbrs == list(range(1, 300))  # counts invariant: no loss, no dup
+    # hash chunks are ~cap in EXPECTATION; assert no chunk degenerates to the
+    # whole hub (the property the old single-window implementation violated
+    # upstream: the full list went through one task)
+    assert all(len(r.nbrs) <= 2 * 100 for r in hub_rows)
+    # deterministic: same chunk assignment on re-run
+    again = capped_adjacency(directed, cap=100).collect()
+    assert sorted((r.src, r.part, tuple(r.nbrs)) for r in adj) == sorted(
+        (r.src, r.part, tuple(r.nbrs)) for r in again
+    )
+
+
+def test_capped_adjacency_mega_hub_no_single_reducer(spark):
+    """A 100k-degree hub must land in many chunks, each far below the hub's
+    degree — the skew guarantee at 10^8-degree web-hub scale."""
+    e = g.star_graph(spark, 100_001)
+    directed = e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    sizes = (
+        capped_adjacency(directed, cap=4096)
+        .where(F.col("src") == 0)
+        .select(F.size("nbrs").alias("sz"))
+        .collect()
+    )
+    assert len(sizes) == 25  # ⌈100000/4096⌉
+    assert sum(r.sz for r in sizes) == 100_000
+    assert max(r.sz for r in sizes) < 2 * 4096
 
 
 def test_dodg_bounds_out_degree_on_star(spark):

@@ -123,7 +123,9 @@ def main() -> None:
         f.write("\n".join(md) + "\n")
     out = {"n": lo, "n4": hi, "efficiency_kernel": rows[0][4], "host_ceiling": round(ceiling, 3), "efficiency_kernel_normalized": round(rows[0][4] / ceiling, 3)}
     if len(rows) > 1:
-        out["efficiency_sql"] = rows[1][4]
+        out["efficiency_pipeline"] = rows[1][4]
+    if len(rows) > 2:
+        out["efficiency_sql"] = rows[2][4]
     print(json.dumps(out))
     print(f"wrote {path}")
 

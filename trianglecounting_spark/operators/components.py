@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from trianglecounting_spark.operators.normalize import undirect
+from trianglecounting_spark.plans.cache import release_ids, tracked_checkpoint
 from trianglecounting_spark.plans.checkpoint import IterationCheckpointer
+from trianglecounting_spark.plans.tuning import iteration_partitions, scoped_shuffle_partitions
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
@@ -75,35 +77,56 @@ def connected_components(
         restored = checkpointer.restore()
         if restored is not None:
             start, cur = restored
-    cur = cur.localCheckpoint(eager=True)
+    cur, cur_ids = tracked_checkpoint(cur)
     n_cur = cur.count()
-    for k in range(start + 1, max_iterations + 1):
-        # large-star needs the symmetric closure of the current pointer graph;
-        # duplicates don't change mins, and _large_star/_small_star dedup their
-        # outputs, so no distinct here.
-        sym = cur.unionAll(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        after_large = _large_star(sym)
-        # localCheckpoint (eager) truncates lineage — without it each round's
-        # plan contains all previous rounds and planning time grows superlinearly.
-        after_small = _small_star(after_large).localCheckpoint(eager=True)
-        n_next = after_small.count()
-        # Fixpoint check: both are distinct sets, so equal size + no additions
-        # ⇒ equal sets (one cheap anti-join instead of two exceptAlls).
-        changed = (n_next != n_cur) or (
-            after_small.join(cur, ["src", "dst"], "left_anti").limit(1).count() > 0
-        )
-        if checkpointer is not None:
-            after_small = checkpointer.maybe_save(k, after_small)
-        cur, n_cur = after_small, n_next
-        if not changed:
-            break
+    with scoped_shuffle_partitions(spark, iteration_partitions(spark, 2 * n_cur)):
+        for k in range(start + 1, max_iterations + 1):
+            # large-star needs the symmetric closure of the current pointer
+            # graph; duplicates don't change mins, and _large_star/_small_star
+            # dedup their outputs, so no distinct here.
+            sym = cur.unionAll(
+                cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            after_large = _large_star(sym)
+            # tracked localCheckpoint (eager) truncates lineage — without it
+            # each round's plan contains all previous rounds and planning grows
+            # superlinearly — and lets us release round k-1's blocks on time.
+            after_small, next_ids = tracked_checkpoint(_small_star(after_large))
+            # Fixpoint check in ONE action: both sides are distinct sets, so
+            # equal size + zero rows missing from `cur` ⇒ equal sets. The left
+            # join flags additions; count(*) gives the size — no second
+            # anti-join job.
+            probe = (
+                after_small.join(
+                    cur.withColumn("_old", F.lit(1)), ["src", "dst"], "left"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("_old").isNull(), 1).otherwise(0)).alias("added"),
+                )
+                .collect()[0]
+            )
+            n_next, added = probe["n"], probe["added"] or 0
+            changed = (n_next != n_cur) or added > 0
+            if checkpointer is not None:
+                after_small = checkpointer.maybe_save(k, after_small)
+            # round k is durable and the probe has read round k-1 — release it
+            release_ids(spark, cur_ids)
+            cur, cur_ids, n_cur = after_small, next_ids, n_next
+            if not changed:
+                break
     # At fixpoint cur is (v, component_min) for every non-minimum vertex;
     # component minima point at themselves.
     labels = cur.select(F.col("src").alias("v"), F.col("dst").alias("component"))
-    return (
+    out, _ = tracked_checkpoint(
         vertices.join(labels, "v", "left")
         .select("v", F.coalesce("component", F.col("v")).cast("long").alias("component"))
     )
+    # the result is materialized — the vertex cache and the final round's
+    # pointer blocks are no longer referenced
+    vertices.unpersist()
+    release_ids(spark, cur_ids)
+    return out
 
 
 def cc_minlabel_unrolled_sql(edges_sql: str, rounds: int = 20) -> str:

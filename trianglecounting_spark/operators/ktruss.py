@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from trianglecounting_spark.operators.triangles import triangle_per_edge_support
+from trianglecounting_spark.plans.cache import (
+    persistent_rdd_ids,
+    release_ids,
+    tracked_checkpoint,
+)
 from trianglecounting_spark.plans.checkpoint import IterationCheckpointer
 
 
@@ -36,7 +41,9 @@ def ktruss(
     checkpointer: IterationCheckpointer | None = None,
 ) -> DataFrame:
     """Edges of the k-truss subgraph: ``(u, v)`` with u < v. Runs to fixpoint."""
+    spark = edges.sparkSession
     cur = edges.select("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
+    cur_ids: set[int] = set()
     n_cur = cur.count()
     start = 0
     if checkpointer is not None:
@@ -45,13 +52,17 @@ def ktruss(
             start, cur = restored
             n_cur = cur.count()
     for it in range(start + 1, max_iterations + 1):
-        # eager localCheckpoint: materialize + truncate lineage per round
-        nxt = _peel_once(cur, k).localCheckpoint(eager=True)
+        # eager localCheckpoint: materialize + truncate lineage per round;
+        # tracked so the previous round's blocks AND the peel's kernel-internal
+        # DODG/adjacency materializations are released deterministically
+        before = persistent_rdd_ids(spark)
+        nxt, nxt_ids = tracked_checkpoint(_peel_once(cur, k), before=before)
         n_nxt = nxt.count()
         if checkpointer is not None:
             nxt = checkpointer.maybe_save(it, nxt)
         cur.unpersist()
-        cur = nxt
+        release_ids(spark, cur_ids)
+        cur, cur_ids = nxt, nxt_ids
         if n_nxt == n_cur:
             break
         n_cur = n_nxt
@@ -65,9 +76,13 @@ def ktruss_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     input ~5× (degree join ×2, triangle join ×3), so an unmaterialized chain
     re-evaluates upstream work exponentially in the round count.
     """
-    cur = edges.select("u", "v").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    cur, cur_ids = tracked_checkpoint(edges.select("u", "v"))
     for _ in range(rounds):
-        cur = _peel_once(cur, k).localCheckpoint(eager=True)
+        before = persistent_rdd_ids(spark)
+        cur, nxt_ids = tracked_checkpoint(_peel_once(cur, k), before=before)
+        release_ids(spark, cur_ids)
+        cur_ids = nxt_ids
     return cur
 
 

@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from trianglecounting_spark.operators.normalize import undirect
+from trianglecounting_spark.plans.cache import release_ids, tracked_checkpoint
 from trianglecounting_spark.plans.checkpoint import IterationCheckpointer
+from trianglecounting_spark.plans.tuning import iteration_partitions, scoped_shuffle_partitions
 
 
 def label_propagation(
@@ -29,11 +31,16 @@ def label_propagation(
     rounds: int = 4,
     checkpointer: IterationCheckpointer | None = None,
 ) -> DataFrame:
-    """Output: ``(v: long, label: long)`` after `rounds` synchronous rounds."""
+    """Output: ``(v: long, label: long)`` after `rounds` synchronous rounds.
+
+    The result is materialized (lineage-free) before the edge-side cache is
+    released, so callers never silently re-execute the whole round chain."""
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    m2 = edges.count() * 2
+    n_part = iteration_partitions(spark, m2)
     # pre-partition the big side by the join key: per-round joins then only
-    # shuffle the |V|-row label table (see pagerank.py)
+    # shuffle the |V|-row label table (see pagerank.py); partition count
+    # matches the loop's shuffles so the label join never re-exchanges sym
     sym = (
         undirect(edges)
         .repartition(n_part, "src")
@@ -47,18 +54,29 @@ def label_propagation(
         restored = checkpointer.restore()
         if restored is not None:
             start, labels = restored
-    for k in range(start + 1, rounds + 1):
-        nbr_labels = sym.join(labels.withColumnRenamed("v", "src"), "src").select(
-            F.col("dst").alias("v"), "label"
-        )
-        counted = nbr_labels.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        labels = counted.groupBy("v").agg(
-            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))["neg"])
-            .cast("long")
-            .alias("label")
-        )
-        if checkpointer is not None:
-            labels = checkpointer.maybe_save(k, labels)
+    prev_ids: set[int] = set()
+    with scoped_shuffle_partitions(spark, n_part):
+        for k in range(start + 1, rounds + 1):
+            nbr_labels = sym.join(labels.withColumnRenamed("v", "src"), "src").select(
+                F.col("dst").alias("v"), "label"
+            )
+            counted = nbr_labels.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
+            labels = counted.groupBy("v").agg(
+                (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))["neg"])
+                .cast("long")
+                .alias("label")
+            )
+            if checkpointer is not None:
+                labels = checkpointer.maybe_save(k, labels)
+            else:
+                # materialize each round (|V| rows) and release the previous
+                # one: truncates the growing plan AND pins correctness — the
+                # final unpersist below must not force a sym-less recompute
+                labels, new_ids = tracked_checkpoint(labels)
+                release_ids(spark, prev_ids)
+                prev_ids = new_ids
+    if checkpointer is not None:
+        labels, _ = tracked_checkpoint(labels)
     sym.unpersist()
     return labels
 

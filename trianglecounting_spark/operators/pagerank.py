@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from trianglecounting_spark.operators.normalize import undirect
+from trianglecounting_spark.plans.cache import release_ids, tracked_checkpoint
 from trianglecounting_spark.plans.checkpoint import IterationCheckpointer
+from trianglecounting_spark.plans.tuning import iteration_partitions, scoped_shuffle_partitions
 
 
 def pagerank(
@@ -38,45 +40,57 @@ def pagerank(
     rank_0(v) = 1/N;  rank_{k+1}(v) = (1-d)/N + d · Σ_{u ∈ N(v)} rank_k(u)/deg(u)
 
     Undirected ⇒ no dangling mass (every vertex has out-edges).
-    Output: ``(v: long, score: double)``.
+    Output: ``(v: long, score: double)`` — materialized (lineage-free), so the
+    edge-side cache is already released when this returns.
     Resumable: pass a checkpointer; a restored snapshot skips completed steps.
     """
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = undirect(edges)
     out_deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = out_deg.count()
+    m2 = edges.count() * 2  # rows of the symmetric edge table
+    n_part = iteration_partitions(spark, m2)
     # pre-partition the (big) edge side by the join key and cache it: every
     # iteration's rank join then reuses this distribution and only the
     # (|V|-row) rank table shuffles — 1 big exchange total instead of 1 per
-    # iteration
+    # iteration. Partition count matches the per-iteration shuffles so the
+    # rank join is co-partitioned without re-exchanging the edge side.
     sym_deg = (
         sym.join(out_deg, "src")
         .repartition(n_part, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = out_deg.count()
     start = 0
     ranks = out_deg.select(F.col("src").alias("v"), (F.lit(1.0) / n).alias("score"))
     if checkpointer is not None:
         restored = checkpointer.restore()
         if restored is not None:
             start, ranks = restored
-    for k in range(start + 1, iterations + 1):
-        contribs = (
-            sym_deg.join(ranks.withColumnRenamed("v", "src"), "src")
-            .select(F.col("dst").alias("v"), (F.col("score") / F.col("deg")).alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("mass"))
-        )
-        ranks = contribs.select(
-            "v", (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("mass")).alias("score")
-        )
-        if checkpointer is not None:
-            ranks = checkpointer.maybe_save(k, ranks)
-        elif k % 5 == 0:
-            # truncate lineage so the plan doesn't accrete one join per step
-            ranks = ranks.localCheckpoint(eager=True)
-    sym.unpersist()
+    prev_ids: set[int] = set()
+    with scoped_shuffle_partitions(spark, n_part):
+        for k in range(start + 1, iterations + 1):
+            contribs = (
+                sym_deg.join(ranks.withColumnRenamed("v", "src"), "src")
+                .select(F.col("dst").alias("v"), (F.col("score") / F.col("deg")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("mass"))
+            )
+            ranks = contribs.select(
+                "v", (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("mass")).alias("score")
+            )
+            if checkpointer is not None:
+                ranks = checkpointer.maybe_save(k, ranks)
+            elif k % 5 == 0 or k == iterations:
+                # truncate lineage so the plan doesn't accrete one join per
+                # step; release the previous truncation's blocks NOW — state k
+                # no longer references them once k is materialized
+                ranks, new_ids = tracked_checkpoint(ranks)
+                release_ids(spark, prev_ids)
+                prev_ids = new_ids
+    if checkpointer is not None:
+        # the restored/loop state may still reference sym_deg lazily
+        ranks, _ = tracked_checkpoint(ranks)
+    sym_deg.unpersist()
     return ranks
 
 

@@ -44,20 +44,26 @@ def salted_degrees(edges: DataFrame, salts: int = 32) -> DataFrame:
 
 
 def capped_adjacency(directed: DataFrame, cap: int = 4096) -> DataFrame:
-    """Adjacency lists with hub splitting: output (src, part, nbrs) where each
-    nbrs chunk has ≤ cap elements, chunks sorted and deterministic
-    (part = nbr_rank // cap). Downstream kernels union over chunks; counts are
-    chunk-additive because intersection distributes over the partition of
-    N⁺(dst)."""
-    ranked = directed.withColumn(
-        "_rk",
-        F.row_number().over(
-            __import__("pyspark.sql.window", fromlist=["Window"]).Window
-            .partitionBy("src").orderBy("dst")
-        ),
+    """Adjacency lists with hub splitting: output (src, part, nbrs) where a
+    degree-d source's neighbors are spread over ⌈d/cap⌉ hash-assigned chunks
+    (part = xxhash64(dst) mod ⌈d/cap⌉). Chunks are deterministic (pure function
+    of (dst, d, cap)); each holds ~cap neighbors in expectation. Downstream
+    kernels union over chunks; counts are chunk-additive because intersection
+    distributes over any partition of N⁺(dst).
+
+    Deliberately NOT a row_number window: rank-chunking routes a mega-hub's
+    entire neighbor list through ONE window task before splitting — the exact
+    hotspot this helper exists to remove. Hash assignment needs only the
+    per-src degree (one skew-immune partial-agg count), and every chunk's rows
+    flow through ordinary hash-partitioned groupBy reducers.
+    """
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("_deg") / F.lit(cap)).cast("long")
     )
     return (
-        ranked.withColumn("part", ((F.col("_rk") - 1) / cap).cast("long"))
+        directed.join(deg, "src")
+        .withColumn("part", F.pmod(F.xxhash64(F.col("dst")), n_chunks))
         .groupBy("src", "part")
         .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
     )

@@ -157,61 +157,20 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Plan 2: Arrow-vectorized intersection kernel over co-partitioned adjacency
 # ---------------------------------------------------------------------------
-
-# The reference dispatches per neighbor-pair on a size-ratio rule (>2 → 1×N
-# galloping shape, else N×M merge; `set_inter_cnt_utils.h:161-171`). In numpy
-# the analogue: searchsorted the small side into the big side when the ratio
-# is large, else a single intersect1d merge.
-_GALLOP_RATIO = 8.0
-
-
-def _group_intersections(nbrs_u: np.ndarray, nb_arrays: list) -> np.ndarray:
-    """Vectorized per-edge intersection counts for one src group.
-
-    nbrs_u: sorted out-neighbors of u. nb_arrays: for each out-edge (u,v),
-    the sorted N⁺(v) (or None). One concatenated searchsorted + segment
-    reduceat — the whole group costs ~4 numpy calls, no per-row Python.
-    This is the batch analogue of the reference's per-vertex intersection
-    loop (`triangle_counting.h:69-116`) with numpy replacing SIMD.
-    """
-    lens = np.fromiter(
-        (0 if nb is None else len(nb) for nb in nb_arrays), dtype=np.int64,
-        count=len(nb_arrays),
-    )
-    total = int(lens.sum())
-    out = np.zeros(len(nb_arrays), dtype=np.int64)
-    if total == 0 or len(nbrs_u) == 0:
-        return out
-    flat = np.concatenate([nb for nb in nb_arrays if nb is not None and len(nb)])
-    idx = np.searchsorted(nbrs_u, flat)
-    idx[idx == len(nbrs_u)] = len(nbrs_u) - 1
-    hits = (nbrs_u[idx] == flat).astype(np.int64)
-    boundaries = np.zeros(len(nb_arrays), dtype=np.int64)
-    np.cumsum(lens[:-1], out=boundaries[1:])
-    nonempty = lens > 0
-    if nonempty.any():
-        # reduceat needs strictly valid segment starts; compute only for
-        # non-empty segments (empty ones stay 0)
-        starts = boundaries[nonempty]
-        seg = np.add.reduceat(hits, starts)
-        out[nonempty] = seg
-    return out
-
-
-def _intersect_count(a: np.ndarray, b: np.ndarray) -> int:
-    """|a ∩ b| for sorted unique int64 arrays — numpy re-expression of the
-    reference's merge (J4) / galloping (J5) intersectors."""
-    la, lb = len(a), len(b)
-    if la == 0 or lb == 0:
-        return 0
-    if la > lb:
-        a, b, la, lb = b, a, lb, la
-    if lb >= _GALLOP_RATIO * la:
-        # galloping analogue: binary-search each small element into the big side
-        idx = np.searchsorted(b, a)
-        idx[idx == lb] = lb - 1
-        return int(np.count_nonzero(b[idx] == a))
-    return int(np.intersect1d(a, b, assume_unique=True).size)
+#
+# Intersection strategy: ONE strategy, deliberately. The reference dispatches
+# per neighbor-pair on a size-ratio rule between a merge intersector (J4,
+# `util/set_inter_cnt_utils.h:161-171`) and a galloping binary-search
+# intersector (J5, `set_inter_cnt_utils.h:13-48`) because a scalar CPU loop
+# pays per-element either way and the cheaper loop wins per pair. In numpy the
+# cost model is different: per-CALL dispatch overhead (~µs) dominates
+# per-element cost, so the winning move is to batch EVERY pair of a src group
+# into a single `searchsorted` over the concatenated neighbor segments
+# (`_hits` / the reduceat variants below) — one vectorized binary search per
+# group, the galloping analogue, regardless of size ratio. A per-pair
+# merge/gallop dispatch was measured slower at every ratio because it
+# re-introduces per-pair Python/numpy call overhead; it is therefore not
+# implemented.
 
 
 def _partition_views(tbl, hub_idx):

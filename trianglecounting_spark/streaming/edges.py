@@ -54,13 +54,20 @@ def append_to_edge_table(stream: DataFrame, table_path: str, checkpoint: str) ->
     unbounded state in the streaming query itself."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         edges = batch.select("u", "v").dropDuplicates(["u", "v"])
         try:
             existing = spark.read.parquet(table_path)
             edges = edges.join(existing, ["u", "v"], "left_anti")
-        except Exception:
-            pass  # first batch: table doesn't exist yet
+        except AnalysisException:
+            # genuinely-first batch: the table doesn't exist yet. Any OTHER
+            # error (transient FS failure, corrupt footer) must propagate and
+            # fail the micro-batch so streaming retry semantics apply —
+            # swallowing it would skip the historical anti-join and append
+            # duplicates silently.
+            pass
         edges.write.mode("append").parquet(table_path)
 
     return stream.writeStream.foreachBatch(write_batch).option(
