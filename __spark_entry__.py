@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pages_extract_text_fp"] = lambda s, d: PG.extract_text(_doc_pages(s, d)).select(
         "url", F.md5(F.col("extracted_text").cast("binary")).alias("text_fp")
     )
+    # full front door incl. the scalable dense-rank url dictionary (the
+    # round-1 per-row-Python path, now DataFrame/Arrow-native end to end)
+    q["pages_to_edges"] = lambda s, d: PG.pages_to_edges(_doc_pages(s, d))
 
     # --- text analysis ---
     q["token_count"] = lambda s, d: TS.token_count(_docs(s, d))
@@ -155,8 +158,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk"] = lambda s, d: SIM.cosine_topk(_emb(s, d), k=5)
     q["cosine_topk_kernel"] = lambda s, d: SIM.cosine_topk_kernel(_emb(s, d), k=5)
-    # approximate ANN: deterministic but float-sign-sensitive → rows-only check
-    q["ann_lsh_topk"] = lambda s, d: SIM.ann_lsh_topk(_emb(s, d), dim=64, k=5, n_planes=6)
+    # portable ANN: integer-grid embeddings × integer SRP planes make bucket
+    # signs exact in both engines → full hash-compared oracle (was rows-only)
+    q["ann_lsh_topk"] = lambda s, d: SIM.ann_lsh_topk_portable(
+        _emb(s, d), dim=64, k=5, n_planes=6, seed=42, tables=2
+    )
 
     # --- events (windowed aggregation) ---
     # hour emitted as a string so the value-hash is engine-portable
@@ -284,6 +290,19 @@ def oracle_sql() -> dict[str, str]:
         f"WITH p AS ({_DOC_PAGES_URLS}) "
         "SELECT src_url, t1 AS dst_url FROM p UNION ALL SELECT src_url, t2 FROM p"
     )
+    # dense url dictionary = row_number over sorted distinct urls (0-based);
+    # url universe = page urls ∪ link targets (incl. dangling)
+    o["pages_to_edges"] = (
+        f"WITH p AS ({_DOC_PAGES_URLS}), "
+        "links AS (SELECT src_url, t1 AS dst_url FROM p "
+        "UNION ALL SELECT src_url, t2 FROM p), "
+        "urls AS (SELECT DISTINCT url FROM "
+        "(SELECT src_url AS url FROM p UNION ALL SELECT dst_url FROM links)), "
+        "dict AS (SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS page_id "
+        "FROM urls) "
+        "SELECT ds.page_id AS src, dd.page_id AS dst FROM links l "
+        "JOIN dict ds ON ds.url = l.src_url JOIN dict dd ON dd.url = l.dst_url"
+    )
     # script/style content is REMOVED by extraction; anchors contribute "a b"
     o["pages_extract_text_fp"] = (
         f"WITH p AS ({_DOC_PAGES_URLS}) "
@@ -309,8 +328,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["cosine_topk"] = SIM.cosine_topk_sql(k=5)
     o["cosine_topk_kernel"] = SIM.cosine_topk_sql(k=5)
-    # ann_lsh_topk intentionally omitted: float-sign bucket boundaries are not
-    # portable across engines → driver does the rows-only check.
+    o["ann_lsh_topk"] = SIM.ann_lsh_topk_sql(dim=64, k=5, n_planes=6, seed=42, tables=2)
 
     o["events_hourly"] = (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, "

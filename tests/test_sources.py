@@ -15,7 +15,9 @@ from trianglecounting_spark.sources.readers import (
     read_edges_binary_pairs,
     read_edges_metis,
     read_edges_tsv,
+    read_edges_yche_bin,
     write_edges_binary_pairs,
+    write_edges_yche_bin,
 )
 
 
@@ -32,6 +34,37 @@ def test_binary_pairs_roundtrip(spark, tmp_path):
     back = read_edges_binary_pairs(spark, out)
     assert _clean(back) == sorted((r.u, r.v) for r in e.collect())
     assert triangle_count_sql(normalize_edges(back)).collect()[0].triangles == 40
+
+
+def test_yche_bin_roundtrip_byte_exact(spark, tmp_path):
+    """S5: the reference's count-prefixed undir_edge_list.bin
+    (yche_serialization.h:53-58): uint64 count header + int32 pairs. The
+    reader must skip the header (raw-pair decoding would shift every edge by
+    8 bytes) and the writer must reproduce the format byte-for-byte."""
+    import numpy as np
+
+    # synthesize a count-prefixed file exactly as yche_serialization writes it
+    pairs = np.array([[0, 1], [0, 2], [1, 2], [2, 3]], dtype="<i4")
+    ref_file = tmp_path / "undir_edge_list.bin"
+    with open(ref_file, "wb") as f:
+        f.write(np.uint64(len(pairs)).tobytes())
+        f.write(pairs.tobytes())
+    got = sorted((r.src, r.dst) for r in read_edges_yche_bin(spark, str(ref_file)).collect())
+    assert got == [(0, 1), (0, 2), (1, 2), (2, 3)]
+
+    # byte-exact round trip through the single-file writer
+    e = spark.createDataFrame([(0, 1), (0, 2), (1, 2), (2, 3)], "u long, v long")
+    out_file = tmp_path / "out.bin"
+    assert write_edges_yche_bin(e.orderBy("u", "v"), str(out_file)) == 4
+    assert out_file.read_bytes() == ref_file.read_bytes()
+
+    # a headerless raw-pair file must fail loudly, not decode shifted garbage
+    raw_file = tmp_path / "raw.bin"
+    raw_file.write_bytes(pairs.tobytes())
+    import pytest
+
+    with pytest.raises(Exception):
+        read_edges_yche_bin(spark, str(raw_file)).collect()
 
 
 def test_metis_reader(spark, tmp_path):

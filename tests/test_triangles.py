@@ -103,3 +103,22 @@ def test_kernel_partitioning_invariance(spark):
         for n in (1, 3, 16)
     }
     assert len(counts) == 1
+
+
+def test_kernel_probe_instrumentation(spark):
+    """Instrumented intersection work (A8): on K_n every probe is a hit, and
+    probes = Σ_v indeg(v)·outdeg(v) = Σ_v v·(n-1-v) — counted in-kernel via
+    df.observe, not derived from wall time."""
+    from pyspark.sql import Observation
+
+    from trianglecounting_spark.operators.triangles import triangle_count_kernel
+
+    n = 6
+    e = g.complete_graph(spark, n)
+    obs = Observation("kernel_metrics")
+    tri = triangle_count_kernel(e, observation=obs).collect()[0].triangles
+    assert tri == 20  # C(6,3)
+    m = obs.get
+    expected_probes = sum(v * (n - 1 - v) for v in range(n))
+    assert m["probes"] == expected_probes == 20
+    assert m["hits"] == 20

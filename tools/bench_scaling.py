@@ -109,6 +109,13 @@ def main() -> None:
         f"Triangles/sec @local[{n4}] (kernel): "
         f"{lo['triangles'] / hi['kernel_sec']:,.0f}",
         "",
+        f"Instrumented intersection work (counted in-kernel, not derived from "
+        f"wall time — the analogue of gktc's probe counters): "
+        f"{lo['probes']:,} probes; "
+        f"{lo['kernel_probes_per_sec'] / 1e6:,.1f} M probes/s @local[{n}] → "
+        f"{hi['kernel_probes_per_sec'] / 1e6:,.1f} M probes/s @local[{n4}] "
+        f"(gktc reports 248.56 M probes/s on 4 native threads, BASELINE.md).",
+        "",
         f"**Host CPU ceiling** (embarrassingly parallel busy-loop, no Spark): "
         f"{ceiling:.2f} — the hypervisor overcommits vCPUs, so {ceiling:.2f} is the "
         f"maximum efficiency ANY workload can show between local[{n}] and "

@@ -39,7 +39,7 @@ print(f"hub+join+layout: {time.time()-t0:.1f}s rows={rows} shipped_nbr_elems={nb
       f"hub_elems={len(vals)}", flush=True)
 
 t0 = time.time()
-partials = joined.mapInArrow(T._make_tc_partition(hub_bc), schema="tri_cnt long")
+partials = joined.mapInArrow(T._make_tc_partition(hub_bc), schema="tri_cnt long, probes long")
 tri = partials.agg(F.sum("tri_cnt")).collect()[0][0]
 print(f"kernel only: {time.time()-t0:.1f}s  tri={tri}", flush=True)
 

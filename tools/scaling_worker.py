@@ -65,17 +65,23 @@ def main() -> None:
     laid_out = laid_out.localCheckpoint(eager=True)
     laid_out.count()
     t_kernel = float("inf")
-    tri_kernel = None
+    tri_kernel = probes = None
     for _ in range(args.repeats):
         t0 = time.time()
-        tri = (
-            laid_out.mapInArrow(_make_tc_partition(hub_bc), schema="tri_cnt long")
-            .agg(F.sum("tri_cnt").cast("long").alias("triangles"))
-            .collect()[0].triangles
+        row = (
+            laid_out.mapInArrow(
+                _make_tc_partition(hub_bc), schema="tri_cnt long, probes long"
+            )
+            .agg(
+                F.sum("tri_cnt").cast("long").alias("triangles"),
+                F.sum("probes").cast("long").alias("probes"),
+            )
+            .collect()[0]
         )
+        tri = row.triangles
         t_kernel = min(t_kernel, time.time() - t0)
         assert tri_kernel is None or tri == tri_kernel
-        tri_kernel = tri
+        tri_kernel, probes = tri, row.probes
 
     # --- end-to-end pipeline timing (scan→normalize excluded; DODG→count) ---
     t_pipeline = float("inf")
@@ -98,6 +104,8 @@ def main() -> None:
                 "cores": args.cores,
                 "edges": int(n_edges),
                 "triangles": int(tri_kernel),
+                "probes": int(probes),
+                "kernel_probes_per_sec": round(probes / t_kernel, 1),
                 "kernel_sec": round(t_kernel, 3),
                 "pipeline_sec": round(t_pipeline, 3),
                 "sql_sec": round(t_sql, 3) if t_sql is not None else None,

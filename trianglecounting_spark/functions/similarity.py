@@ -93,10 +93,40 @@ def _srp_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def srp_planes_int(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Integer-valued hyperplanes in [-1000, 1000] from the same counter-based
+    hash. With integer-grid embeddings (``int_grid``), every plane dot product
+    is an exact integer in a double, so bucket SIGNS are bit-portable across
+    engines — the property that lets the driver hash-compare ANN buckets
+    against a DuckDB oracle (float planes put sign flips at the mercy of FP
+    summation order)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(float(int(h[:8], 16) % 2001 - 1000))
+        planes.append(row)
+    return planes
+
+
+def int_grid(embeddings: DataFrame, vec_col: str = "embedding", scale: int = 1000) -> DataFrame:
+    """Quantize an embedding column to an integer grid (floor(x·scale), kept
+    as double): exact integer arithmetic inside doubles, identical in Spark
+    and DuckDB. floor (not round) dodges cross-engine round-half conventions."""
+    return embeddings.withColumn(
+        vec_col,
+        F.transform(F.col(vec_col), lambda x: F.floor(x * scale).cast("double")),
+    )
+
+
 def srp_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               planes: list[list[float]] | None = None) -> DataFrame:
     """Assign each vector its sign-random-projection bucket id (long)."""
-    planes = _srp_planes(dim, n_planes, seed)
+    planes = planes if planes is not None else _srp_planes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         plane_arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -106,21 +136,42 @@ def srp_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8, seed: int = 4
 
 
 def ann_lsh_topk(embeddings: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
-                 seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: exact cosine re-rank within each SRP bucket.
+                 seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+                 tables: int = 1,
+                 planes_per_table: list[list[list[float]]] | None = None) -> DataFrame:
+    """Approximate top-k: candidate pairs from ``tables`` independent SRP
+    bucket tables (OR-ing — the standard LSH recall lever), deduplicated, then
+    ONE exact cosine re-rank over the distinct candidate set.
 
-    The self-join is on `bucket` — expected bucket size n/2^planes, so the
-    pair space shrinks by ~2^planes vs brute force. Recall measured in tests.
+    Each table's self-join is on its `bucket` — expected bucket size
+    n/2^planes, so the pair space shrinks by ~2^planes vs brute force while
+    extra tables recover recall multiplicatively. Candidates-then-rerank keeps
+    the (wide) vector payload out of the candidate shuffle: the per-table
+    joins move only (bucket, id) pairs; vectors are joined back once.
     Output schema identical to `cosine_topk`.
     """
-    bucketed = srp_bucket(embeddings, dim, n_planes, seed, vec_col)
-    a = bucketed.select("bucket", F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
-    b = bucketed.select("bucket", F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    if planes_per_table is None:
+        planes_per_table = [
+            _srp_planes(dim, n_planes, seed + t) for t in range(tables)
+        ]
+    ids_only = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    cands = None
+    for planes in planes_per_table:
+        bucketed = srp_bucket(ids_only, dim, n_planes, seed, vec_col, planes=planes)
+        a = bucketed.select("bucket", "vec_id")
+        b = bucketed.select("bucket", F.col("vec_id").alias("nbr_id"))
+        p = (
+            a.join(b, "bucket")
+            .where(F.col("vec_id") != F.col("nbr_id"))
+            .select("vec_id", "nbr_id")
+        )
+        cands = p if cands is None else cands.unionAll(p)
+    cands = cands.distinct()
+    va = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    pairs = (
-        a.join(b, "bucket")
-        .where(F.col("vec_id") != F.col("nbr_id"))
-        .select("vec_id", "nbr_id", F.round(sim, 6).alias("sim"))
+    pairs = cands.join(va, "vec_id").join(vb, "nbr_id").select(
+        "vec_id", "nbr_id", F.round(sim, 6).alias("sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
     return (
@@ -128,6 +179,68 @@ def ann_lsh_topk(embeddings: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
         .where(F.col("rnk") <= k)
         .select("vec_id", "nbr_id", "sim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def ann_lsh_topk_portable(embeddings: DataFrame, dim: int, k: int = 5,
+                          n_planes: int = 6, seed: int = 42, tables: int = 2,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          scale: int = 1000) -> DataFrame:
+    """Engine-portable ANN: integer-grid embeddings × integer planes make
+    every bucket sign exact, so the result is hash-comparable against the
+    DuckDB twin ``ann_lsh_topk_sql`` (the driver CORRECTNESS gate)."""
+    grid = int_grid(embeddings, vec_col, scale)
+    planes = [srp_planes_int(dim, n_planes, seed + t) for t in range(tables)]
+    return ann_lsh_topk(
+        grid, dim, k, n_planes, seed, id_col, vec_col,
+        tables=tables, planes_per_table=planes,
+    )
+
+
+def ann_lsh_topk_sql(dim: int, k: int = 5, n_planes: int = 6, seed: int = 42,
+                     tables: int = 2, scale: int = 1000) -> str:
+    """DuckDB oracle for ``ann_lsh_topk_portable``: identical integer planes
+    (emitted as literals), identical floor-grid quantization, identical
+    candidate OR-ing + re-rank + rounding + tie-break."""
+    plane_sets = [srp_planes_int(dim, n_planes, seed + t) for t in range(tables)]
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        terms = []
+        for p, plane in enumerate(planes):
+            lits = ", ".join(str(int(x)) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, [{lits}]::DOUBLE[]) >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    bucket_cols = ", ".join(
+        f"{bucket_expr(ps)} AS bkt{t}" for t, ps in enumerate(plane_sets)
+    )
+    cand_selects = " UNION ".join(
+        f"SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id FROM b a "
+        f"JOIN b b2 ON a.bkt{t} = b2.bkt{t} AND a.vec_id <> b2.vec_id"
+        for t in range(tables)
+    )
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * {scale})) AS e
+  FROM embeddings
+), b AS MATERIALIZED (
+  SELECT vec_id, {bucket_cols} FROM emb
+), cand AS MATERIALIZED (
+  {cand_selects}
+), pairs AS (
+  SELECT c.vec_id, c.nbr_id,
+         round(list_dot_product(x.e, y.e) /
+               (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS sim
+  FROM cand c JOIN emb x ON x.vec_id = c.vec_id JOIN emb y ON y.vec_id = c.nbr_id
+), ranked AS (
+  SELECT vec_id, nbr_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rnk
+  FROM pairs
+) SELECT vec_id, nbr_id, sim, CAST(rnk AS BIGINT) AS rnk FROM ranked
+WHERE rnk <= {k} ORDER BY vec_id, rnk
+""".strip()
 
 
 # ---------------------------------------------------------------------------

@@ -24,7 +24,8 @@ Scale notes (100 TB / 10^12-edge deployment):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def normalize_edges(raw: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -119,6 +120,79 @@ def adjacency(directed: DataFrame, num_partitions: int | None = None) -> DataFra
     return grouped.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
 
 
+def scalable_dense_rank(
+    df: DataFrame,
+    order: list[Column],
+    key_cols: list[str],
+    out_col: str = "new_id",
+) -> DataFrame:
+    """Dense global row numbering (0..N-1) by a TOTAL order — no single-task
+    window, no per-row Python.
+
+    Physical plan (the distributed counting-sort shape, mirroring the
+    reference's renumbering `pre_processing.h:200-253` and the Karypis
+    counting-sort `2017-karypis-hepc-tc/ptc.c:79-124`):
+
+      1. range-partitioned global sort (Spark's scalable sort — partition p
+         holds a contiguous slice of the total order);
+      2. per-partition local index via ``mapInArrow`` — one ``np.arange`` per
+         Arrow batch, a narrow Arrow-vectorized pass;
+      3. per-partition row counts (a ≤#partitions-row collect) → cumulative
+         offsets → broadcast join; rank = offset[partition] + local index.
+
+    The sorted+indexed table is cached between the counts action and the
+    result materialization so both see the identical range partitioning
+    (re-planning could re-sample different range boundaries); the result is
+    returned materialized (lineage-free) and the cache is dropped before
+    returning — no persistent blocks beyond the result leak out.
+
+    At 10^12 rows this is one sort shuffle + one narrow pass + a metadata-size
+    collect — the same cost envelope as any distributed sort, with zero rows
+    ever touching the driver or a Python scalar loop.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from trianglecounting_spark.plans.cache import tracked_checkpoint
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    with_pid = df.sort(*order).select(*key_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # fresh StructType — StructType.add would mutate the DataFrame's cached schema
+    out_schema = StructType(
+        list(with_pid.schema.fields) + [StructField("_lidx", LongType())]
+    )
+
+    def add_local_index(batches):
+        base = 0
+        for b in batches:
+            idx = pa.array(np.arange(base, base + b.num_rows, dtype=np.int64))
+            yield b.append_column("_lidx", idx)
+            base += b.num_rows
+
+    indexed = with_pid.mapInArrow(add_local_index, out_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = {
+        r["_pid"]: r["_cnt"]
+        for r in indexed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    result = indexed.join(F.broadcast(off_df), "_pid").select(
+        *key_cols, (F.col("_off") + F.col("_lidx")).alias(out_col)
+    )
+    out, _ = tracked_checkpoint(result)
+    indexed.unpersist()
+    return out
+
+
 def rank_by_degree(deg: DataFrame, descending: bool = True) -> DataFrame:
     """Dense rank permutation by degree: ``(v, new_id)`` with new_id in [0, |V|).
 
@@ -126,18 +200,10 @@ def rank_by_degree(deg: DataFrame, descending: bool = True) -> DataFrame:
     ascending counting-sort (`2017-karypis-hepc-tc/ptc.c:79-124`). In the
     reference this buys cache locality + a dense hub id range for bitmap
     packing; in Spark its use is hub identification (rank < K ⇒ broadcastable
-    hub set).
-
-    Implementation: global sort + per-partition offset rank — a window over the
-    whole table (`row_number().over(orderBy(...))`) would single-task; instead
-    we use ``zipWithIndex`` semantics via range-partitioned sort, which scales.
+    hub set). (deg, v) is a total order, so the rank is deterministic.
     """
     order = [F.col("deg").desc(), F.col("v").asc()] if descending else [
         F.col("deg").asc(), F.col("v").asc()]
-    sorted_df = deg.sort(*order)
-    # monotonically_increasing_id is NOT dense; derive dense ids per partition
-    # via zipWithIndex on the range-partitioned sort (stable, deterministic).
-    rdd = sorted_df.select("v").rdd.map(lambda r: r[0]).zipWithIndex()
-    return rdd.toDF(["v", "new_id"]).select(
+    return scalable_dense_rank(deg, order, ["v"], out_col="new_id").select(
         F.col("v").cast("long"), F.col("new_id").cast("long")
     )

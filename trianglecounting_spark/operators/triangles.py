@@ -245,7 +245,13 @@ def _make_tc_partition(hub_bc):
     data (a contiguous zero-copy slice of the Arrow values buffer), plus one
     vectorized count per *hub* row against the broadcast CSR (a view —
     nothing is ever gathered/copied, so peak memory stays O(rows), immune to
-    wedge-volume skew). Emits one partial sum per partition."""
+    wedge-volume skew). Emits one partial row per partition:
+    ``(tri_cnt, probes)`` where probes = the number of intersection
+    candidates binary-searched (Σ |N⁺(dst)| over the partition's edges — the
+    instrumented work counter the reference reports as probes/MP-sec,
+    `2017-karypis-hepc-tc/ptc.c:282-397`, `main.c:49-51`). The public count
+    queries aggregate only tri_cnt; callers attach ``df.observe`` to read the
+    probe totals without a second job."""
 
     def run(batches):
         import pyarrow as pa
@@ -253,6 +259,7 @@ def _make_tc_partition(hub_bc):
         hub_idx = hub_bc.value if hub_bc is not None else None
         tbl = _partition_table(batches)
         total = 0
+        probes = 0
         if tbl is not None:
             srcs, dsts, j_offsets, j_values, hub_pos = _partition_views(tbl, hub_idx)
             offs = vals = None
@@ -267,6 +274,7 @@ def _make_tc_partition(hub_bc):
                 jseg = j_values[j_offsets[gs]:j_offsets[ge]]
                 if jseg.size:
                     total += _hits(nbrs_u, jseg)
+                    probes += int(jseg.size)
                 hi = np.searchsorted(hub_rows, ge, side="left")
                 if hi > lo:
                     # batch the group's hub segments: views → one concat →
@@ -278,8 +286,14 @@ def _make_tc_partition(hub_bc):
                     hseg = np.concatenate(segs) if len(segs) > 1 else segs[0]
                     if hseg.size:
                         total += _hits(nbrs_u, hseg)
+                        probes += int(hseg.size)
                 lo = hi
-        yield pa.RecordBatch.from_pydict({"tri_cnt": pa.array([total], pa.int64())})
+        yield pa.RecordBatch.from_pydict(
+            {
+                "tri_cnt": pa.array([total], pa.int64()),
+                "probes": pa.array([probes], pa.int64()),
+            }
+        )
 
     return run
 
@@ -447,11 +461,23 @@ def _edges_with_dst_adjacency(
 
     Returns (laid_out_df, hub_broadcast_or_None).
     """
-    spark = edges.sparkSession
     d = orient_dodg(edges).localCheckpoint(eager=False)
     # adjacency is referenced by the hub-collect job AND the kernel job —
     # materialize once (lazy localCheckpoint), don't rebuild the collect_list
     adj = adjacency(d, num_partitions).localCheckpoint(eager=False)
+    return _layout_from_dodg(d, adj, num_partitions, hub_k)
+
+
+def _layout_from_dodg(
+    d: DataFrame, adj: DataFrame, num_partitions: int | None, hub_k: int = 65536
+):
+    """Core of the kernel layout, shared by the edge-derived path above and
+    the pre-bucketed-table path (`bucketed_kernel_layout`): hub split + the
+    edges ⋈ dst-adjacency join + the src CSR grouping. When ``d``/``adj`` come
+    from tables bucketed by dst/src, the join plans with ZERO shuffle
+    exchanges (both scans already satisfy the join distribution) — the
+    SURVEY §4 "bucketed write" layout contract."""
+    spark = d.sparkSession
     hub_bc = None
     adj_dst = adj.select(F.col("src").alias("dst"), F.col("nbrs"))
     if hub_k > 0:
@@ -507,7 +533,10 @@ def _edges_with_dst_adjacency(
 
 
 def triangle_count_kernel(
-    edges: DataFrame, num_partitions: int | None = None, hub_k: int = 65536
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    hub_k: int = 65536,
+    observation=None,
 ) -> DataFrame:
     """Global exact triangle count via the vectorized intersection kernel.
 
@@ -518,9 +547,22 @@ def triangle_count_kernel(
     `CountTriBMPAndMergeWithPackDODG` (`triangle_counting.h:36-129`) with
     numpy replacing SIMD intrinsics and map-side partial aggregation replacing
     the OpenMP reduction. Output: one row ``(triangles: long)``.
+
+    ``observation``: an optional ``pyspark.sql.Observation``; after the count
+    is consumed it carries ``{"probes": ..., "hits": ...}`` — the instrumented
+    intersection work (not wall-time-derived), mirroring the reference's probe
+    counters (`2017-karypis-hepc-tc/main.c:49-51`).
     """
     laid_out, hub_bc = _edges_with_dst_adjacency(edges, num_partitions, hub_k)
-    partials = laid_out.mapInArrow(_make_tc_partition(hub_bc), schema="tri_cnt long")
+    partials = laid_out.mapInArrow(
+        _make_tc_partition(hub_bc), schema="tri_cnt long, probes long"
+    )
+    if observation is not None:
+        partials = partials.observe(
+            observation,
+            F.sum("probes").alias("probes"),
+            F.sum("tri_cnt").alias("hits"),
+        )
     return partials.agg(F.sum("tri_cnt").cast("long").alias("triangles"))
 
 
@@ -533,4 +575,77 @@ def triangle_count_per_directed_edge_kernel(
     laid_out, hub_bc = _edges_with_dst_adjacency(edges, num_partitions, hub_k)
     return laid_out.mapInArrow(
         _make_tc_partition_per_edge(hub_bc), schema="src long, dst long, cnt long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pre-bucketed physical layout (SURVEY §4 "bucketed write or repartition" —
+# the strong half): when the canonical DODG edge table is bucketed by dst and
+# the adjacency table by src (plans/layout.py writes them), the kernel's
+# adjacency join is exchange-free on read — the co-location is paid ONCE at
+# write time, not per query, exactly like an Iceberg bucket-partitioned table
+# feeding a 1000-executor cluster.
+# ---------------------------------------------------------------------------
+
+def bucketed_kernel_layout(
+    spark, edges_table: str, adj_table: str, hub_k: int = 65536
+):
+    """Kernel input layout from pre-bucketed catalog tables (see
+    plans/layout.write_graph_layout). Returns (laid_out_df, hub_broadcast)."""
+    return _layout_from_dodg(
+        spark.table(edges_table), spark.table(adj_table), None, hub_k
+    )
+
+
+def triangle_count_kernel_bucketed(
+    spark,
+    edges_table: str,
+    adj_table: str,
+    hub_k: int = 65536,
+    observation=None,
+) -> DataFrame:
+    """`triangle_count_kernel` over the pre-bucketed layout: identical result,
+    but the DODG build + adjacency grouping shuffles are already on disk and
+    the dst join needs no exchange. Output: one row ``(triangles: long)``."""
+    laid_out, hub_bc = bucketed_kernel_layout(spark, edges_table, adj_table, hub_k)
+    partials = laid_out.mapInArrow(
+        _make_tc_partition(hub_bc), schema="tri_cnt long, probes long"
+    )
+    if observation is not None:
+        partials = partials.observe(
+            observation,
+            F.sum("probes").alias("probes"),
+            F.sum("tri_cnt").alias("hits"),
+        )
+    return partials.agg(F.sum("tri_cnt").cast("long").alias("triangles"))
+
+
+def triangle_per_edge_support_bucketed(
+    spark, edges_table: str, adj_table: str, hub_k: int = 65536
+) -> DataFrame:
+    """`triangle_per_edge_support` over the pre-bucketed layout (same explode
+    + groupBy on kernel-enumerated corners; the canonical (u<v) edge set is
+    recovered from the DODG table, which holds each edge exactly once)."""
+    laid_out, hub_bc = bucketed_kernel_layout(spark, edges_table, adj_table, hub_k)
+    tris = laid_out.mapInArrow(
+        _make_tc_partition_enumerate(hub_bc), schema="a long, b long, c long"
+    )
+
+    def pair(x, y):
+        return F.struct(
+            F.least(F.col(x), F.col(y)).alias("u"),
+            F.greatest(F.col(x), F.col(y)).alias("v"),
+        )
+
+    incidences = tris.select(
+        F.explode(F.array(pair("a", "b"), pair("a", "c"), pair("b", "c"))).alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    support = incidences.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    edges = spark.table(edges_table).select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    )
+    return edges.join(support, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
     )

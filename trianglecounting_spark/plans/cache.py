@@ -47,10 +47,14 @@ def release_ids(spark: SparkSession, ids: set[int], blocking: bool = False) -> i
     return released
 
 
-def release_all_cached(spark: SparkSession, blocking: bool = False) -> int:
-    """Unpersist EVERY persistent RDD in the session. Only call at a quiescent
-    point (results consumed): localCheckpoint blocks are not recomputable."""
-    return release_ids(spark, persistent_rdd_ids(spark), blocking)
+def release_all_cached(
+    spark: SparkSession, blocking: bool = False, keep: set[int] | None = None
+) -> int:
+    """Unpersist EVERY persistent RDD in the session except ``keep``. Only
+    call at a quiescent point (results consumed): localCheckpoint blocks are
+    not recomputable."""
+    ids = persistent_rdd_ids(spark) - (keep or set())
+    return release_ids(spark, ids, blocking)
 
 
 def tracked_checkpoint(

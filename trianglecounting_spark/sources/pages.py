@@ -71,17 +71,19 @@ def url_dictionary(pages: DataFrame, links: DataFrame | None = None) -> DataFram
 
     This is the analogue of the reference's old↔new vid dictionaries
     (`pre_processing.h:155-197`): a mapping table applied with joins. At
-    10^12-url scale the sort is a range-partitioned global sort — Spark's
-    scalable rank — not a single-window row_number.
+    10^12-url scale this is one range-partitioned sort + a narrow Arrow pass
+    (`scalable_dense_rank`) — no single-window row_number, no per-row Python
+    on the engine's front door.
     """
+    from trianglecounting_spark.operators.normalize import scalable_dense_rank
+
     urls = pages.select(F.col("url"))
     if links is not None:
         urls = urls.unionAll(links.select(F.col("dst_url").alias("url")))
     urls = urls.distinct()
-    rdd = urls.sort("url").rdd.map(lambda r: r[0]).zipWithIndex()
-    return rdd.toDF(["url", "page_id"]).select(
-        "url", F.col("page_id").cast("long")
-    )
+    return scalable_dense_rank(
+        urls, [F.col("url").asc()], ["url"], out_col="page_id"
+    ).select("url", F.col("page_id").cast("long"))
 
 
 def pages_to_edges(pages: DataFrame) -> DataFrame:

@@ -49,26 +49,94 @@ def read_edges_binary_pairs(spark: SparkSession, path: str, dtype: str = "<u4") 
     return files.select("content").mapInPandas(decode, schema="src long, dst long")
 
 
-def write_edges_binary_pairs(edges: DataFrame, path: str, dtype: str = "<u4") -> None:
+def write_edges_binary_pairs(edges: DataFrame, path: str, dtype: str = "<u4") -> int:
     """Edge-list sink in the reference's raw pair format (S6,
     `playground/output_remove_duplicate.cpp:123-147`) — one .bin shard per
-    partition, written executor-side."""
+    partition, written executor-side through an Arrow kernel (one
+    ``np.column_stack`` + ``tobytes`` per batch; no per-row Python).
+
+    Returns the number of edges written. The target must be a filesystem every
+    executor can reach (shared/NFS/fuse mount — the natural target for this
+    format, which exists to hand shards to the reference's single-node
+    tooling; big-data interchange stays on the parquet/Iceberg path).
+    """
     import os
 
     os.makedirs(path, exist_ok=True)
     dt = dtype
 
-    def dump(index: int, it):
-        import numpy as _np
+    def dump(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        from pyspark import TaskContext
 
-        rows = list(it)
-        if rows:
-            arr = _np.array(rows, dtype=_np.int64).astype(_np.dtype(dt))
-            with open(os.path.join(path, f"part-{index:05d}.bin"), "wb") as f:
-                f.write(arr.tobytes())
-        return iter([])
+        pid = TaskContext.get().partitionId()
+        rows, fh = 0, None
+        try:
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                u = b.column(0).to_numpy(zero_copy_only=False)
+                v = b.column(1).to_numpy(zero_copy_only=False)
+                pairs = np.column_stack((u, v)).astype(np.dtype(dt))
+                if fh is None:
+                    fh = open(os.path.join(path, f"part-{pid:05d}.bin"), "wb")
+                fh.write(pairs.tobytes())
+                rows += b.num_rows
+        finally:
+            if fh is not None:
+                fh.close()
+        yield pa.RecordBatch.from_pydict({"rows": pa.array([rows], pa.int64())})
 
-    edges.select("u", "v").rdd.map(tuple).mapPartitionsWithIndex(dump).count()
+    partials = edges.select("u", "v").mapInArrow(dump, "rows long")
+    return int(partials.agg(F.sum("rows")).collect()[0][0] or 0)
+
+
+def read_edges_yche_bin(spark: SparkSession, path: str) -> DataFrame:
+    """S5: the reference's count-prefixed normalized output format
+    (`yche/yche_serialization.h:53-58,62-81`, reader `yche_helpers.cpp:35-45`):
+    one little-endian uint64 pair count, then count × (int32, int32) pairs.
+    The header is validated against the payload length — a truncated or
+    raw-pair (headerless) file fails loudly instead of silently shifting every
+    edge by 8 bytes."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                n = int(np.frombuffer(content[:8], dtype="<u8")[0])
+                payload = np.frombuffer(content[8:], dtype="<i4")
+                if len(payload) != 2 * n:
+                    raise ValueError(
+                        f"{fpath}: header says {n} pairs but payload holds "
+                        f"{len(payload) // 2} — not a yche undir_edge_list.bin?"
+                    )
+                pairs = payload.reshape(-1, 2)
+                yield pd.DataFrame(
+                    {"src": pairs[:, 0].astype(np.int64), "dst": pairs[:, 1].astype(np.int64)}
+                )
+
+    return files.select("path", "content").mapInPandas(decode, schema="src long, dst long")
+
+
+def write_edges_yche_bin(edges: DataFrame, file_path: str, max_edges: int = 50_000_000) -> int:
+    """Single-file yche export (`yche_serialization.h:62-81` writes ONE
+    count-prefixed file). A single file is inherently one writer, so this
+    collects through Arrow on the driver — appropriate for handing a (already
+    reduced) graph to the reference's single-node tools, guarded by
+    ``max_edges``; full-scale data interchange stays sharded/parquet."""
+    pdf = edges.select(
+        F.col("u").cast("int").alias("u"), F.col("v").cast("int").alias("v")
+    ).toPandas()
+    n = len(pdf)
+    if n > max_edges:
+        raise ValueError(f"{n} edges > max_edges={max_edges}: not a single-file export")
+    pairs = np.column_stack(
+        (pdf["u"].to_numpy(np.int32), pdf["v"].to_numpy(np.int32))
+    )
+    with open(file_path, "wb") as f:
+        f.write(np.uint64(n).tobytes())
+        f.write(pairs.astype("<i4").tobytes())
+    return n
 
 
 def read_edges_metis(spark: SparkSession, path: str) -> DataFrame:
