@@ -26,6 +26,7 @@ from trianglecounting_spark.operators.labelprop import (
     label_propagation_unrolled_sql,
 )
 from trianglecounting_spark.operators.ktruss import ktruss_rounds, ktruss_unrolled_sql
+from trianglecounting_spark.operators.kcore import kcore_rounds, kcore_unrolled_sql
 from trianglecounting_spark.functions import textstats as TS
 from trianglecounting_spark.functions import dedup as DD
 from trianglecounting_spark.functions import similarity as SIM
@@ -121,6 +122,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["label_propagation"] = lambda s, d: label_propagation(_edges(s, d), rounds=4)
     q["ktruss"] = lambda s, d: ktruss_rounds(_edges(s, d), k=4, rounds=3)
+    q["kcore"] = lambda s, d: kcore_rounds(_edges(s, d), k=4, rounds=3)
+    # explicitly-approximate estimator (deterministic hash sample → exact
+    # kernel count on the sample → unbiased scale-up); exact ops stay the
+    # north-rule contract
+    q["triangle_count_approx"] = lambda s, d: T.triangle_count_approx(
+        _edges(s, d), p_inv=4, seed=42
+    )
 
     # --- page front door (input_hint pipeline) ---
     q["pages_extract_links"] = lambda s, d: PG.extract_links(_doc_pages(s, d))
@@ -136,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = lambda s, d: TS.quality_score(_docs(s, d))
     q["language_id"] = lambda s, d: TS.language_id(_docs(s, d))
     q["doc_fingerprint"] = lambda s, d: TS.fingerprint(_docs(s, d))
+    q["winnow_fp"] = lambda s, d: TS.winnow_fingerprints(_docs(s, d), k=8, w=4)
 
     # --- dedup ---
     def _docs_with_dups(s, d):
@@ -281,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY support DESC, u ASC, v ASC LIMIT 20"
     )
 
+    o["kcore"] = kcore_unrolled_sql(_E, k=4, rounds=3)
+    o["triangle_count_approx"] = T.triangle_count_approx_sql(_E, p_inv=4, seed=42)
+    o["winnow_fp"] = TS.winnow_sql(k=8, w=4)
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)
     o["pagerank"] = pagerank_unrolled_sql(_E, iterations=10)
     o["label_propagation"] = label_propagation_unrolled_sql(_E, rounds=4)

@@ -71,6 +71,30 @@ def main() -> None:
     stats["triangles"] = tri
     probes = int(obs.get["probes"])
 
+    # bucketed physical layout: pay the co-location once (build_layout), then
+    # the kernel join is exchange-free on read — the 100 TB steady-state shape
+    import tempfile
+
+    from trianglecounting_spark.plans.layout import write_graph_layout
+
+    layout_dir = tempfile.mkdtemp(prefix="tc_layout_")
+    e_tbl, a_tbl = timed(
+        "build_layout", lambda: write_graph_layout(edges, layout_dir, buckets=64)
+    )
+    tri_b = timed(
+        "triangle_count_kernel_bucketed",
+        lambda: t.triangle_count_kernel_bucketed(spark, e_tbl, a_tbl)
+        .collect()[0]
+        .triangles,
+    )
+    assert tri_b == tri, (tri_b, tri)
+    timed(
+        "triangle_per_edge_bucketed",
+        lambda: t.triangle_per_edge_support_bucketed(spark, e_tbl, a_tbl)
+        .agg(F.sum("support"))
+        .collect(),
+    )
+
     # declarative 3-way-join parity check at sf0.01 (its documented role is the
     # differential oracle; timing the full wedge volume at sf0.1 made the suite
     # 35% oracle-replay — VERDICT r1)
@@ -102,6 +126,11 @@ def main() -> None:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     timed("cosine_topk_kernel", lambda: sim.cosine_topk_kernel(emb, k=5).count())
+    # the scale path: bucketed candidates, no driver collect, no all-pairs
+    timed(
+        "ann_lsh_topk",
+        lambda: sim.ann_lsh_topk(emb, dim=64, k=5, n_planes=6, tables=2).count(),
+    )
 
     total = round(sum(queries.values()), 3)
     kernel_sec = max(queries["triangle_count_kernel"], 1e-9)

@@ -155,3 +155,44 @@ def test_audio_features(spark):
     media = spark.createDataFrame(rows, "media_id long, blob binary")
     f = mm.audio_features(media).collect()[0]
     assert f.sample_rate == 16000 and f.n_samples == 1000 and f.rms > 0
+
+
+def test_winnowing_guarantee_and_determinism(spark):
+    """Winnowing's core guarantee (Schleimer et al. §2): two documents sharing
+    a substring of length >= w + k - 1 share at least one fingerprint. Plus
+    partitioning-determinism."""
+    from trianglecounting_spark.functions.textstats import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " BBB ending part one"),
+            (2, "CCC different head text " + shared + " DDD"),
+            (3, "zyxw vuts rqpo nmlk jihg fedc ba98 7654 3210 qwer asdf"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
+    # doc 3 shares nothing that long with doc 1
+    assert len(by_doc[3] & by_doc[1]) == 0
+    again = winnow_fingerprints(docs.repartition(5), k=8, w=4)
+    assert sorted(map(tuple, fps.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_triangle_count_approx_unbiased_form(spark):
+    from trianglecounting_spark.operators.triangles import triangle_count_approx
+    from trianglecounting_spark.sources import generators as g
+
+    e = g.complete_graph(spark, 12)  # C(12,3) = 220
+    # p_inv=1 keeps every edge: the estimate IS the exact count
+    r = triangle_count_approx(e, p_inv=1).collect()[0]
+    assert r.triangles_est == 220 == r.sampled_triangles
+    # p_inv=2: deterministic sample, estimate = 8 x sampled count
+    r2 = triangle_count_approx(e, p_inv=2).collect()[0]
+    assert r2.triangles_est == 8 * r2.sampled_triangles
+    r2b = triangle_count_approx(e.repartition(7), p_inv=2).collect()[0]
+    assert (r2.triangles_est, r2.sampled_triangles) == (r2b.triangles_est, r2b.sampled_triangles)

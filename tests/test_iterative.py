@@ -109,3 +109,22 @@ def test_checkpoint_metrics_written(spark, tmp_path):
     m = json.load(open(os.path.join(str(tmp_path / "ck2"), "iter=2", "metrics.json")))
     assert m["rows"] == 30
     assert sum(p["rows"] for p in m["partitions"]) == 30
+
+
+def test_kcore_closed_forms(spark):
+    from trianglecounting_spark.operators.kcore import kcore, kcore_rounds
+
+    e = g.two_cliques_bridge(spark)
+    # every vertex has degree >= 5 (bridge endpoints have 6) → 5-core = G
+    assert kcore(e, k=5).count() == e.count()
+    # 6-core: K6 vertices lose the bridge endpoints' neighbors first and the
+    # whole graph unravels
+    assert kcore(e, k=6).count() == 0
+    # star: every leaf has degree 1 → 2-core empty
+    assert kcore(g.star_graph(spark, 50), k=2).count() == 0
+    # cycle: 2-regular → 2-core is the whole cycle
+    assert kcore(g.cycle_graph(spark, 12), k=2).count() == 12
+    # fixed-round form converges to the fixpoint
+    got = sorted((r.u, r.v) for r in kcore_rounds(e, k=5, rounds=3).collect())
+    want = sorted((r.u, r.v) for r in kcore(e, k=5).collect())
+    assert got == want

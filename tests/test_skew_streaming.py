@@ -116,3 +116,38 @@ def test_streaming_normalize_and_rate(spark, tmp_path):
     }
     assert sum(rates.values()) == 4
     assert len(rates) == 2
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """State-store dedup: duplicates across micro-batch history are dropped
+    without rescanning the table (O(1)/row vs the anti-join's O(history))."""
+    from trianglecounting_spark.streaming.edges import (
+        append_to_edge_table_stateful,
+        normalize_stream,
+        stream_raw_edges,
+    )
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, 2, "2024-01-01 00:00:10"), (3, 4, "2024-01-01 00:00:20")],
+        "src long, dst long, ts_s string",
+    ).select("src", "dst", F.col("ts_s").cast("timestamp").alias("ts"))
+    b2 = spark.createDataFrame(
+        [(2, 1, "2024-01-01 00:05:00"), (5, 6, "2024-01-01 00:05:10")],
+        "src long, dst long, ts_s string",
+    ).select("src", "dst", F.col("ts_s").cast("timestamp").alias("ts"))
+    b1.write.parquet(str(src_dir / "f1"))
+    b2.write.parquet(str(src_dir / "f2"))
+
+    raw = stream_raw_edges(spark, str(src_dir) + "/*")
+    q = (
+        append_to_edge_table_stateful(
+            normalize_stream(raw), str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted((r.u, r.v) for r in spark.read.parquet(str(tmp_path / "tbl")).collect())
+    assert rows == [(1, 2), (3, 4), (5, 6)]  # (2,1) deduped against (1,2)

@@ -157,3 +157,80 @@ FINGERPRINT_SQL = (
     "SELECT doc_id, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp "
     "FROM documents ORDER BY doc_id"
 )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD'03): the document-overlap
+# detector that guarantees any match of length ≥ w+k-1 shares a fingerprint.
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowed k-gram fingerprints per document.
+
+    Pipeline (all Column expressions — the explode is the only row expansion):
+    normalize text → one hash per k-gram position (md5 prefix, a string so
+    min-comparison is engine-portable) → min over each window of ``w``
+    consecutive hashes (ties broken by position via a zero-padded suffix, the
+    deterministic stand-in for the paper's rightmost-min rule) → distinct
+    selected fingerprints. Output ``(doc_id, fp: string, fp_pos: long)``.
+
+    Scale: per-doc windows are tiny (|text| rows), so the window function
+    partitions by doc_id — no global window, no skew beyond document length,
+    which upstream quality filters already bound.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    t = docs.select("doc_id", norm.alias("t")).where(F.length("t") >= k)
+    grams = t.select(
+        "doc_id",
+        F.length("t").alias("lt"),
+        F.explode(F.sequence(F.lit(1), F.length("t") - k + 1)).alias("pos"),
+        F.col("t"),
+    )
+    gram = F.col("t").substr(F.col("pos"), F.lit(k))
+    tag = F.concat(
+        F.substring(F.md5(F.encode(gram, "UTF-8")), 1, 8),
+        F.lit(":"),
+        F.lpad(F.col("pos").cast("string"), 10, "0"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    selected = (
+        grams.select("doc_id", "pos", "lt", F.min(tag).over(win).alias("sel"))
+        # only full windows (the paper's n-k+2-w windows); the tail's partial
+        # windows would otherwise select extra fingerprints
+        .where(F.col("pos") <= F.col("lt") - k + 1 - (w - 1))
+    )
+    return selected.select(
+        "doc_id",
+        F.substring("sel", 1, 8).alias("fp"),
+        F.substring("sel", 10, 10).cast("long").alias("fp_pos"),
+    ).distinct()
+
+
+def winnow_sql(k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of ``winnow_fingerprints`` — same normalization, same md5
+    k-gram tags, same windowed min + full-window filter + distinct."""
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+), g AS MATERIALIZED (
+  SELECT doc_id, length(t) AS lt,
+         unnest(generate_series(1, length(t) - {k} + 1)) AS pos, t
+  FROM t WHERE length(t) >= {k}
+), tagged AS (
+  SELECT doc_id, pos, lt,
+         substr(md5(substr(t, CAST(pos AS INTEGER), {k})), 1, 8) || ':' ||
+         lpad(CAST(pos AS VARCHAR), 10, '0') AS tag
+  FROM g
+), win AS (
+  SELECT doc_id, pos, lt,
+         min(tag) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel
+  FROM tagged
+) SELECT DISTINCT doc_id, substr(sel, 1, 8) AS fp,
+         CAST(substr(sel, 10, 10) AS BIGINT) AS fp_pos
+FROM win WHERE pos <= lt - {k} + 1 - {w - 1} ORDER BY doc_id, fp_pos
+""".strip()

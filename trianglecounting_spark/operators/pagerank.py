@@ -20,7 +20,7 @@ Scale notes (10^10-vertex web graph):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from trianglecounting_spark.operators.normalize import undirect

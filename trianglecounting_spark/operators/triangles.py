@@ -31,7 +31,7 @@ wedge-candidate volume — kept as the declarative differential oracle.
 
 from __future__ import annotations
 
-from typing import Iterable
+
 
 import numpy as np
 import pandas as pd
@@ -648,4 +648,63 @@ def triangle_per_edge_support_bucketed(
     )
     return edges.join(support, ["u", "v"], "left").select(
         "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate triangle counting (explicitly approximate; the exact kernels
+# above remain the north-rule contract)
+# ---------------------------------------------------------------------------
+
+# modulus/multipliers for the deterministic edge-sampling hash: pure int64
+# arithmetic with no overflow in either Spark or DuckDB, so the sample — and
+# therefore the estimate — is bit-identical across engines and partitionings.
+_SAMPLE_M = 1_000_000_007
+_SAMPLE_A = 2_654_435_761
+_SAMPLE_B = 40_503
+
+
+def triangle_count_approx(edges: DataFrame, p_inv: int = 4, seed: int = 42) -> DataFrame:
+    """DOULION-style estimate (Tsourakakis et al., KDD'09): keep each edge
+    with probability 1/p_inv via a deterministic hash, count triangles EXACTLY
+    on the sample with the vectorized kernel, scale by p_inv³.
+
+    Unbiased (E[est] = Δ); variance shrinks with triangle count — the standard
+    cheap pre-pass at 10^12-edge scale before committing to an exact run.
+    Output: one row ``(triangles_est: long, sampled_triangles: long)``.
+    """
+    h = F.pmod(
+        F.pmod(F.col("u"), F.lit(_SAMPLE_M)) * F.lit(_SAMPLE_A)
+        + F.pmod(F.col("v"), F.lit(_SAMPLE_M)) * F.lit(_SAMPLE_B)
+        + F.lit(seed),
+        F.lit(_SAMPLE_M),
+    )
+    sampled = edges.where(F.pmod(h, F.lit(p_inv)) == 0)
+    cnt = triangle_count_kernel(sampled)
+    return cnt.select(
+        (F.col("triangles") * F.lit(p_inv ** 3)).cast("long").alias("triangles_est"),
+        F.col("triangles").alias("sampled_triangles"),
+    )
+
+
+def triangle_count_approx_sql(edges_sql: str, p_inv: int = 4, seed: int = 42) -> str:
+    """DuckDB twin of ``triangle_count_approx``: identical hash sample (exact
+    int64 arithmetic) + the DODG three-way join on the sample."""
+    return (
+        f"WITH e0 AS MATERIALIZED ({edges_sql}), "
+        f"e AS MATERIALIZED (SELECT u, v FROM e0 WHERE "
+        f"(((u % {_SAMPLE_M}) * {_SAMPLE_A} + (v % {_SAMPLE_M}) * {_SAMPLE_B} + {seed}) "
+        f"% {_SAMPLE_M}) % {p_inv} = 0), "
+        "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        "d AS MATERIALIZED (SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.u ELSE e.v END AS src, "
+        "CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.v ELSE e.u END AS dst "
+        "FROM e JOIN deg du ON du.v = e.u JOIN deg dv ON dv.v = e.v), "
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d e1 "
+        "JOIN d e2 ON e2.src = e1.dst "
+        "JOIN d e3 ON e3.src = e1.src AND e3.dst = e2.dst) "
+        f"SELECT CAST(n * {p_inv ** 3} AS BIGINT) AS triangles_est, "
+        "n AS sampled_triangles FROM c"
     )
