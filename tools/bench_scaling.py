@@ -62,14 +62,41 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--scale", type=int, default=19)
     ap.add_argument("--edge-factor", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="full lo/hi measurement rounds; per-level minima are "
+                    "reported (the hypervisor shows ~2x time-varying noise, so "
+                    "a single round can under-measure either level arbitrarily; "
+                    "interleaved rounds + min estimate true capacity)")
     args = ap.parse_args()
     n, n4 = args.n, 4 * args.n
     # host ceiling: sustained busy-loop throughput ratio; ideal = 1.0
-    ceiling = cpu_ceiling(n, n4)
+    ceiling = min(cpu_ceiling(n, n4), 1.0)
 
-    lo = run_worker(n, args.scale, args.edge_factor)
-    hi = run_worker(n4, args.scale, args.edge_factor)
-    assert lo["triangles"] == hi["triangles"], "parallelism changed the answer!"
+    def best(runs: list[dict]) -> dict:
+        out = dict(runs[0])
+        for r in runs[1:]:
+            for k, v in r.items():
+                if (
+                    isinstance(v, (int, float))
+                    and k.endswith("_sec")
+                    and not k.endswith("per_sec")
+                ):
+                    out[k] = min(out[k], v)
+        # recompute derived throughputs from the merged minima so every
+        # reported rate is consistent with the reported time
+        for name in ("kernel", "pipeline", "sql"):
+            if out.get(f"{name}_sec"):
+                out[f"{name}_edges_per_sec"] = round(out["edges"] / out[f"{name}_sec"], 1)
+        out["kernel_probes_per_sec"] = round(out["probes"] / out["kernel_sec"], 1)
+        return out
+
+    lo_runs, hi_runs = [], []
+    for _ in range(max(1, args.rounds)):
+        lo_runs.append(run_worker(n, args.scale, args.edge_factor))
+        hi_runs.append(run_worker(n4, args.scale, args.edge_factor))
+    lo, hi = best(lo_runs), best(hi_runs)
+    counts = {r["triangles"] for r in lo_runs + hi_runs}
+    assert len(counts) == 1, "parallelism changed the answer!"
 
     rows = []
     names = ["kernel", "pipeline"] + (["sql"] if lo.get("sql_sec") else [])
@@ -87,7 +114,10 @@ def main() -> None:
         f"edge_factor={args.edge_factor}, {lo['edges']:,} normalized edges, "
         f"Δ = {lo['triangles']:,}) on identical input at local[{n}] vs local[{n4}] "
         "— the sandbox stand-in for N vs 4N executors (BASELINE.json north_rule; "
-        "precedent: Karypis KNL 10t→40t = 0.97–0.98, BASELINE.md).",
+        "precedent: Karypis KNL 10t→40t = 0.97–0.98, BASELINE.md). "
+        f"Per-level minima over {max(1, args.rounds)} interleaved measurement "
+        "rounds × best-of-repeats within each (the shared hypervisor shows ~2× "
+        "time-varying noise; minima estimate true capacity at each level).",
         "",
         "| phase | local[{}] sec | local[{}] sec | speedup | efficiency | edges/s @{} | edges/s @{} |".format(n, n4, n, n4),
         "|---|---|---|---|---|---|---|",

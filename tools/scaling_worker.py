@@ -64,6 +64,15 @@ def main() -> None:
     laid_out, hub_bc = _edges_with_dst_adjacency(edges, 128)
     laid_out = laid_out.localCheckpoint(eager=True)
     laid_out.count()
+    # one UNTIMED full-size pass first: Python worker pool spawn, hub-CSR
+    # broadcast load into every worker, and checkpoint-block page-cache warm-up
+    # all amortize once per executor lifetime on a real cluster — timing them
+    # into repeat 1 would bias the measurement against the higher core count
+    # (more workers to warm). The reference's kernel timings likewise exclude
+    # one-time setup (BASELINE.md reports kernel vs total separately).
+    laid_out.mapInArrow(
+        _make_tc_partition(hub_bc), schema="tri_cnt long, probes long"
+    ).agg(F.sum("tri_cnt")).collect()
     t_kernel = float("inf")
     tri_kernel = probes = None
     for _ in range(args.repeats):

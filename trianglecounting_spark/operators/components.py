@@ -29,7 +29,11 @@ from trianglecounting_spark.plans.tuning import iteration_partitions, scoped_shu
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
-    """Symmetric edge table (src,dst) → edges (v, m) for every nbr v > src."""
+    """Symmetric edge table (src,dst) → edges (v, m) for every nbr v > src.
+
+    No dedup here: the only consumer is ``_small_star``, whose min-aggregate
+    is duplicate-insensitive and whose own output IS deduped — dropping the
+    distinct saves one full shuffle per round."""
     mins = sym.groupBy("src").agg(
         F.least(F.col("src"), F.min("dst")).alias("m")
     )
@@ -37,7 +41,6 @@ def _large_star(sym: DataFrame) -> DataFrame:
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -92,22 +95,22 @@ def connected_components(
             # each round's plan contains all previous rounds and planning grows
             # superlinearly — and lets us release round k-1's blocks on time.
             after_small, next_ids = tracked_checkpoint(_small_star(after_large))
-            # Fixpoint check in ONE action: both sides are distinct sets, so
-            # equal size + zero rows missing from `cur` ⇒ equal sets. The left
-            # join flags additions; count(*) gives the size — no second
-            # anti-join job.
-            probe = (
-                after_small.join(
-                    cur.withColumn("_old", F.lit(1)), ["src", "dst"], "left"
+            # Fixpoint check: both sides are distinct sets, so equal size +
+            # zero rows missing from `cur` ⇒ equal sets. The size probe is a
+            # near-free count on the just-materialized checkpoint; the
+            # membership join runs ONLY when sizes agree (i.e. at most the
+            # final round plus rare coincidences) — early rounds pay one
+            # metadata-cheap action, not a join.
+            n_next = after_small.count()
+            if n_next != n_cur:
+                changed = True
+            else:
+                added = (
+                    after_small.join(cur, ["src", "dst"], "left_anti")
+                    .limit(1)
+                    .count()
                 )
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.when(F.col("_old").isNull(), 1).otherwise(0)).alias("added"),
-                )
-                .collect()[0]
-            )
-            n_next, added = probe["n"], probe["added"] or 0
-            changed = (n_next != n_cur) or added > 0
+                changed = added > 0
             if checkpointer is not None:
                 after_small = checkpointer.maybe_save(k, after_small)
             # round k is durable and the probe has read round k-1 — release it
