@@ -128,3 +128,13 @@ def test_kcore_closed_forms(spark):
     got = sorted((r.u, r.v) for r in kcore_rounds(e, k=5, rounds=3).collect())
     want = sorted((r.u, r.v) for r in kcore(e, k=5).collect())
     assert got == want
+
+
+def test_pagerank_convergence_mode(spark):
+    """tol mode stops early once the L1 delta is below tol and agrees with a
+    long fixed run to the oracle precision (north_star: 'at convergence')."""
+    e = g.two_cliques_bridge(spark)
+    conv = {r.v: r.score for r in pagerank(e, iterations=60, tol=1e-8).collect()}
+    fixed = {r.v: r.score for r in pagerank(e, iterations=60).collect()}
+    assert abs(sum(conv.values()) - 1.0) < 1e-9
+    assert all(abs(conv[v] - fixed[v]) < 1e-6 for v in fixed)

@@ -151,3 +151,36 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted((r.u, r.v) for r in spark.read.parquet(str(tmp_path / "tbl")).collect())
     assert rows == [(1, 2), (3, 4), (5, 6)]  # (2,1) deduped against (1,2)
+
+
+def test_streaming_degrees_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful operator: cumulative per-vertex degree via
+    applyInPandasWithState; final state equals the static batch degrees."""
+    from trianglecounting_spark.streaming.edges import (
+        stream_raw_edges,
+        streaming_degrees,
+    )
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    batch = spark.createDataFrame(
+        [(0, 1, "2024-01-01 00:00:01"), (0, 2, "2024-01-01 00:00:02"),
+         (1, 2, "2024-01-01 00:00:03"), (0, 3, "2024-01-01 00:00:04")],
+        "src long, dst long, ts_s string",
+    ).select("src", "dst", F.col("ts_s").cast("timestamp").alias("ts"))
+    batch.write.parquet(str(src_dir / "f1"))
+
+    q = (
+        streaming_degrees(stream_raw_edges(spark, str(src_dir) + "/*"))
+        .writeStream.format("memory")
+        .queryName("sdeg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits per-batch rows; cumulative degree is monotone → max
+    rows = spark.sql("select v, max(deg) as deg from sdeg group by v").collect()
+    got = {r.v: r.deg for r in rows}
+    assert got == {0: 3, 1: 2, 2: 2, 3: 1}

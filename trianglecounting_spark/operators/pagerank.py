@@ -34,6 +34,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpointer: IterationCheckpointer | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """`iterations` synchronous PageRank steps on the undirected simple graph.
 
@@ -43,6 +44,11 @@ def pagerank(
     Output: ``(v: long, score: double)`` — materialized (lineage-free), so the
     edge-side cache is already released when this returns.
     Resumable: pass a checkpointer; a restored snapshot skips completed steps.
+
+    ``tol``: optional convergence mode (the north_star's "at convergence"
+    contract) — stop once the L1 delta Σ|rank_k − rank_{k−1}| < tol, with
+    ``iterations`` as the cap. Costs one extra join-aggregate action per step,
+    so the default (None) keeps the fixed-iteration oracle-matched behavior.
     """
     spark = edges.sparkSession
     sym = undirect(edges)
@@ -69,6 +75,8 @@ def pagerank(
     prev_ids: set[int] = set()
     with scoped_shuffle_partitions(spark, n_part):
         for k in range(start + 1, iterations + 1):
+            prev_ranks = ranks
+            new_ids: set[int] = set()
             contribs = (
                 sym_deg.join(ranks.withColumnRenamed("v", "src"), "src")
                 .select(F.col("dst").alias("v"), (F.col("score") / F.col("deg")).alias("c"))
@@ -80,13 +88,27 @@ def pagerank(
             )
             if checkpointer is not None:
                 ranks = checkpointer.maybe_save(k, ranks)
-            elif k % 5 == 0 or k == iterations:
+            elif tol is not None or k % 5 == 0 or k == iterations:
                 # truncate lineage so the plan doesn't accrete one join per
                 # step; release the previous truncation's blocks NOW — state k
-                # no longer references them once k is materialized
+                # no longer references them once k is materialized (in tol
+                # mode the delta probe still needs rank_{k-1}, so its blocks
+                # are released after the probe below)
                 ranks, new_ids = tracked_checkpoint(ranks)
+                if tol is None:
+                    release_ids(spark, prev_ids)
+                    prev_ids = new_ids
+            if tol is not None:
+                delta = (
+                    ranks.withColumnRenamed("score", "s1")
+                    .join(prev_ranks.withColumnRenamed("score", "s0"), "v")
+                    .agg(F.sum(F.abs(F.col("s1") - F.col("s0"))).alias("d"))
+                    .collect()[0]["d"]
+                )
                 release_ids(spark, prev_ids)
                 prev_ids = new_ids
+                if delta < tol:
+                    break
     if checkpointer is not None:
         # the restored/loop state may still reference sym_deg lazily
         ranks, _ = tracked_checkpoint(ranks)

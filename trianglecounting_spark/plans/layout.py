@@ -67,6 +67,29 @@ def write_graph_layout(
     )
     # the shared DODG checkpoint served both writes — release it now
     release_ids(spark, persistent_rdd_ids(spark) - before)
+    # Iceberg-style snapshot manifest: the layout is only usable if its two
+    # tables are from the SAME source snapshot; the manifest records the
+    # counts + bucket spec + write time so a reader (or a resume) can verify
+    # consistency before trusting the exchange-free plan. (With real Iceberg
+    # this is the table snapshot metadata; parquet tables need it written
+    # explicitly.)
+    import json
+    import time
+
+    manifest = {
+        "tables": {e_tbl: "edges_dodg", a_tbl: "adjacency"},
+        "buckets": buckets,
+        "bucket_keys": {e_tbl: "dst", a_tbl: "src"},
+        "rows": {
+            e_tbl: spark.table(e_tbl).count(),
+            a_tbl: spark.table(a_tbl).count(),
+        },
+        "written_at": time.time(),
+    }
+    tmp = os.path.join(base_dir, "_LAYOUT_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(base_dir, "_LAYOUT_MANIFEST.json"))
     return e_tbl, a_tbl
 
 

@@ -17,6 +17,7 @@ the historical table is a per-batch anti-join).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
@@ -72,6 +73,41 @@ def append_to_edge_table(stream: DataFrame, table_path: str, checkpoint: str) ->
 
     return stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
+    )
+
+
+def streaming_degrees(raw: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    cumulative per-vertex degree over the (src, dst, ts) edge stream.
+
+    This is the pattern the engine uses for any per-key running aggregate the
+    built-in streaming aggs can't express: state = one long per vertex, each
+    micro-batch's updates arrive as Arrow-backed pandas frames (vectorized —
+    the group's batch is counted with ``len``, never iterated per row), and
+    only touched keys are loaded/emitted. State is sharded by the streaming
+    state store across executors and restored from the checkpoint on restart
+    — the same resumability contract as the batch IterationCheckpointer.
+
+    Output (update mode): one ``(v, deg)`` row per touched vertex per batch,
+    carrying the cumulative degree.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    endpoints = raw.select(F.explode(F.array("src", "dst")).alias("v"))
+
+    def update(key, pdfs, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"v": [key[0]], "deg": [cnt]})
+
+    return endpoints.groupBy("v").applyInPandasWithState(
+        update,
+        outputStructType="v long, deg long",
+        stateStructType="deg long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
