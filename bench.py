@@ -78,19 +78,19 @@ def main() -> None:
     from trianglecounting_spark.plans.layout import write_graph_layout
 
     layout_dir = tempfile.mkdtemp(prefix="tc_layout_")
-    e_tbl, a_tbl = timed(
+    e_tbl, a_tbl, h_tbl = timed(
         "build_layout", lambda: write_graph_layout(edges, layout_dir, buckets=64)
     )
     tri_b = timed(
         "triangle_count_kernel_bucketed",
-        lambda: t.triangle_count_kernel_bucketed(spark, e_tbl, a_tbl)
+        lambda: t.triangle_count_kernel_bucketed(spark, e_tbl, a_tbl, hub_table=h_tbl)
         .collect()[0]
         .triangles,
     )
     assert tri_b == tri, (tri_b, tri)
     timed(
         "triangle_per_edge_bucketed",
-        lambda: t.triangle_per_edge_support_bucketed(spark, e_tbl, a_tbl)
+        lambda: t.triangle_per_edge_support_bucketed(spark, e_tbl, a_tbl, hub_table=h_tbl)
         .agg(F.sum("support"))
         .collect(),
     )

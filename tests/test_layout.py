@@ -15,7 +15,15 @@ from trianglecounting_spark.sources import generators as g
 
 def test_bucketed_layout_exchange_free_and_exact(spark, tmp_path):
     edges = normalize_edges(g.rmat_graph(spark, 10, 8)).localCheckpoint(eager=True)
-    e_tbl, a_tbl = write_graph_layout(edges, str(tmp_path), buckets=8, prefix="tl1")
+    e_tbl, a_tbl, h_tbl = write_graph_layout(
+        edges, str(tmp_path), buckets=8, prefix="tl1"
+    )
+    # Iceberg-style snapshot manifest written atomically alongside the tables
+    import json
+
+    manifest = json.loads((tmp_path / "_LAYOUT_MANIFEST.json").read_text())
+    assert manifest["buckets"] == 8
+    assert manifest["rows"][e_tbl] == edges.count()
 
     # force the join to actually use co-located buckets (a broadcast join
     # would also be exchange-free but wouldn't prove the layout)
@@ -30,14 +38,21 @@ def test_bucketed_layout_exchange_free_and_exact(spark, tmp_path):
         tri_bucketed = (
             t.triangle_count_kernel_bucketed(spark, e_tbl, a_tbl).collect()[0].triangles
         )
+        # materialized hub CSR path: same count, zero hub-selection jobs
+        tri_hub_tbl = (
+            t.triangle_count_kernel_bucketed(spark, e_tbl, a_tbl, hub_table=h_tbl)
+            .collect()[0]
+            .triangles
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
     tri = t.triangle_count_kernel(edges).collect()[0].triangles
     assert tri_bucketed == tri
+    assert tri_hub_tbl == tri
 
     sup_b = (
-        t.triangle_per_edge_support_bucketed(spark, e_tbl, a_tbl)
+        t.triangle_per_edge_support_bucketed(spark, e_tbl, a_tbl, hub_table=h_tbl)
         .agg(F.sum("support").alias("s"), F.count(F.lit(1)).alias("n"))
         .collect()[0]
     )
@@ -48,3 +63,19 @@ def test_bucketed_layout_exchange_free_and_exact(spark, tmp_path):
     )
     assert (sup_b.s, sup_b.n) == (sup.s, sup.n)
     assert sup_b.s == 3 * tri
+
+
+def test_bucketed_layout_no_hubs_edge_case(spark, tmp_path):
+    """Graph with no hub candidates (all in-degrees 1): empty hub CSR table,
+    counts still exact via the join path."""
+    edges = g.cycle_graph(spark, 40).localCheckpoint(eager=True)
+    e_tbl, a_tbl, h_tbl = write_graph_layout(
+        edges, str(tmp_path), buckets=4, prefix="tl2"
+    )
+    assert spark.table(h_tbl).count() == 0
+    tri = (
+        t.triangle_count_kernel_bucketed(spark, e_tbl, a_tbl, hub_table=h_tbl)
+        .collect()[0]
+        .triangles
+    )
+    assert tri == 0

@@ -477,52 +477,71 @@ def _layout_from_dodg(
     from tables bucketed by dst/src, the join plans with ZERO shuffle
     exchanges (both scans already satisfy the join distribution) — the
     SURVEY §4 "bucketed write" layout contract."""
+    hubs = hub_flat = None
+    if hub_k > 0:
+        hubs, hub_flat = _select_hub_csr(d, adj, hub_k)
+    return _assemble_layout(d, adj, hubs, hub_flat, num_partitions)
+
+
+def _select_hub_csr(d: DataFrame, adj: DataFrame, hub_k: int):
+    """Pick the hub set and collect its flat CSR to the driver.
+
+    Hub selection by in-degree THRESHOLD, not top-K: orderBy().limit(K)
+    merges num_partitions·K candidate rows single-threaded on the driver
+    (~tens of seconds of serial time at K=65536 — measured as the dominant
+    Amdahl term). A threshold filter is fully distributed; indeg ≥ 8 means
+    each broadcast list saves ≥8× its own size in join replication. If the
+    threshold admits more than hub_k vertices, an approximate quantile raises
+    it so executor broadcast memory stays bounded (worst case hub_k·O(√m)
+    longs; in practice high in-degree ⇒ high rank ⇒ short out-list: 65k hubs
+    ≈ 48 MB at m = 7.7M while absorbing 99.3% of replication).
+
+    Returns (hubs_df (dst: long), flat_pdf (src, nbr) pandas sorted) — the
+    flat CSR is collected through Arrow as two FLAT int columns (explode):
+    a row-object collect of 65k list rows costs tens of seconds of
+    single-threaded driver work; this is two zero-copy numpy columns.
+    """
+    indeg = d.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    candidates = indeg.where(F.col("indeg") >= 8).localCheckpoint(eager=False)
+    n_cand = candidates.count()
+    if n_cand > hub_k:
+        frac = 1.0 - hub_k / float(n_cand)
+        thresh = candidates.approxQuantile("indeg", [frac], 0.01)[0]
+        candidates = candidates.where(F.col("indeg") >= thresh)
+    hubs = candidates.select("dst").localCheckpoint(eager=False)
+    flat_pdf = (
+        adj.join(hubs.withColumnRenamed("dst", "src"), "src")
+        .select("src", F.explode("nbrs").alias("nbr"))
+        .sort("src", "nbr")
+        .toPandas()
+    )
+    return hubs, flat_pdf
+
+
+def _broadcast_hub_csr(spark, flat_pdf):
+    """(src, nbr) flat pandas frame → broadcast (ids, offsets, values) CSR.
+    Hubs with empty out-lists vanish in the explode — a kernel lookup miss
+    means empty, which is exactly right."""
+    hub_srcs = flat_pdf["src"].to_numpy(dtype=np.int64)
+    values = flat_pdf["nbr"].to_numpy(dtype=np.int64)
+    if len(hub_srcs):
+        ids, first_idx = np.unique(hub_srcs, return_index=True)
+        offsets = np.concatenate((first_idx, [len(hub_srcs)])).astype(np.int64)
+    else:
+        ids = np.empty(0, dtype=np.int64)
+        offsets = np.zeros(1, dtype=np.int64)
+    return spark.sparkContext.broadcast((ids, offsets, values))
+
+
+def _assemble_layout(d, adj, hubs, hub_flat, num_partitions):
+    """Join + src CSR grouping given an (optional) pre-selected hub set."""
     spark = d.sparkSession
     hub_bc = None
     adj_dst = adj.select(F.col("src").alias("dst"), F.col("nbrs"))
-    if hub_k > 0:
-        # Hub selection by in-degree THRESHOLD, not top-K: orderBy().limit(K)
-        # merges num_partitions·K candidate rows single-threaded on the
-        # driver (~tens of seconds of serial time at K=65536 — measured as
-        # the dominant Amdahl term). A threshold filter is fully distributed;
-        # indeg ≥ 8 means each broadcast list saves ≥8× its own size in join
-        # replication. If the threshold admits more than hub_k vertices, an
-        # approximate quantile raises it so executor broadcast memory stays
-        # bounded (worst case hub_k·O(√m) longs; in practice high in-degree ⇒
-        # high rank ⇒ short out-list: 65k hubs ≈ 48 MB at m = 7.7M while
-        # absorbing 99.3% of replication).
-        indeg = d.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
-        candidates = indeg.where(F.col("indeg") >= 8).localCheckpoint(eager=False)
-        n_cand = candidates.count()
-        if n_cand > hub_k:
-            frac = 1.0 - hub_k / float(n_cand)
-            thresh = candidates.approxQuantile("indeg", [frac], 0.01)[0]
-            candidates = candidates.where(F.col("indeg") >= thresh)
-        hubs = candidates.select("dst").localCheckpoint(eager=False)
-        # collect the hub CSR through Arrow as two FLAT int columns (explode)
-        # — a row-object collect of 65k list rows costs tens of seconds of
-        # single-threaded driver work; this is two zero-copy numpy columns
-        flat_pdf = (
-            adj.join(hubs.withColumnRenamed("dst", "src"), "src")
-            .select("src", F.explode("nbrs").alias("nbr"))
-            .sort("src", "nbr")
-            .toPandas()
-        )
-        hub_srcs = flat_pdf["src"].to_numpy(dtype=np.int64)
-        values = flat_pdf["nbr"].to_numpy(dtype=np.int64)
-        if len(hub_srcs):
-            ids, first_idx = np.unique(hub_srcs, return_index=True)
-            offsets = np.concatenate((first_idx, [len(hub_srcs)])).astype(np.int64)
-        else:
-            ids = np.empty(0, dtype=np.int64)
-            offsets = np.zeros(1, dtype=np.int64)
-        # hubs with empty out-lists vanish in the explode — a kernel lookup
-        # miss means empty, which is exactly right
-        hub_bc = spark.sparkContext.broadcast((ids, offsets, values))
-        adj_dst = adj_dst.join(
-            hubs.hint("broadcast"), "dst", "left_anti"
-        )
-        # note: hub dsts now miss the join → nbrs NULL → kernel consults the
+    if hubs is not None:
+        hub_bc = _broadcast_hub_csr(spark, hub_flat)
+        adj_dst = adj_dst.join(hubs.hint("broadcast"), "dst", "left_anti")
+        # hub dsts now miss the join → nbrs NULL → kernel consults the
         # broadcast CSR; genuine sinks are in neither → count 0 either way.
     joined = d.join(adj_dst, "dst", "left")
     if num_partitions is not None:
@@ -588,13 +607,27 @@ def triangle_count_per_directed_edge_kernel(
 # ---------------------------------------------------------------------------
 
 def bucketed_kernel_layout(
-    spark, edges_table: str, adj_table: str, hub_k: int = 65536
+    spark,
+    edges_table: str,
+    adj_table: str,
+    hub_k: int = 65536,
+    hub_table: str | None = None,
 ):
     """Kernel input layout from pre-bucketed catalog tables (see
-    plans/layout.write_graph_layout). Returns (laid_out_df, hub_broadcast)."""
-    return _layout_from_dodg(
-        spark.table(edges_table), spark.table(adj_table), None, hub_k
-    )
+    plans/layout.write_graph_layout). Returns (laid_out_df, hub_broadcast).
+
+    ``hub_table``: optional pre-materialized flat hub CSR (src, nbr) written
+    by the layout — the hub SELECTION (in-degree agg + threshold/quantile
+    jobs) then happens zero times per query instead of once per query; the
+    steady-state kernel pays one small scan + Arrow collect. Hubs with empty
+    out-lists aren't in the CSR and need no anti-join membership either: they
+    have no adjacency row, so both paths yield the same empty set."""
+    d, adj = spark.table(edges_table), spark.table(adj_table)
+    if hub_table is not None:
+        flat_pdf = spark.table(hub_table).sort("src", "nbr").toPandas()
+        hubs = spark.table(hub_table).select(F.col("src").alias("dst")).distinct()
+        return _assemble_layout(d, adj, hubs, flat_pdf, None)
+    return _layout_from_dodg(d, adj, None, hub_k)
 
 
 def triangle_count_kernel_bucketed(
@@ -603,11 +636,14 @@ def triangle_count_kernel_bucketed(
     adj_table: str,
     hub_k: int = 65536,
     observation=None,
+    hub_table: str | None = None,
 ) -> DataFrame:
     """`triangle_count_kernel` over the pre-bucketed layout: identical result,
     but the DODG build + adjacency grouping shuffles are already on disk and
     the dst join needs no exchange. Output: one row ``(triangles: long)``."""
-    laid_out, hub_bc = bucketed_kernel_layout(spark, edges_table, adj_table, hub_k)
+    laid_out, hub_bc = bucketed_kernel_layout(
+        spark, edges_table, adj_table, hub_k, hub_table
+    )
     partials = laid_out.mapInArrow(
         _make_tc_partition(hub_bc), schema="tri_cnt long, probes long"
     )
@@ -621,12 +657,15 @@ def triangle_count_kernel_bucketed(
 
 
 def triangle_per_edge_support_bucketed(
-    spark, edges_table: str, adj_table: str, hub_k: int = 65536
+    spark, edges_table: str, adj_table: str, hub_k: int = 65536,
+    hub_table: str | None = None,
 ) -> DataFrame:
     """`triangle_per_edge_support` over the pre-bucketed layout (same explode
     + groupBy on kernel-enumerated corners; the canonical (u<v) edge set is
     recovered from the DODG table, which holds each edge exactly once)."""
-    laid_out, hub_bc = bucketed_kernel_layout(spark, edges_table, adj_table, hub_k)
+    laid_out, hub_bc = bucketed_kernel_layout(
+        spark, edges_table, adj_table, hub_k, hub_table
+    )
     tris = laid_out.mapInArrow(
         _make_tc_partition_enumerate(hub_bc), schema="a long, b long, c long"
     )

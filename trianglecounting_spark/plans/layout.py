@@ -29,26 +29,35 @@ def write_graph_layout(
     base_dir: str,
     buckets: int = 64,
     prefix: str = "linkgraph",
-) -> tuple[str, str]:
+    hub_k: int = 65536,
+) -> tuple[str, str, str]:
     """Write the kernel's physical layout from a canonical (u<v) edge table.
 
-    Creates two catalog-registered bucketed parquet tables under ``base_dir``:
+    Creates three catalog-registered parquet tables under ``base_dir``:
       * ``<prefix>_edges_dodg`` — the DODG (src, dst), bucketed+sorted by dst
         (the kernel join key);
       * ``<prefix>_adjacency``  — (src, nbrs sorted), bucketed+sorted by src
-        (which IS the join key after the dst alias).
+        (which IS the join key after the dst alias);
+      * ``<prefix>_hub_csr``    — the selected hub set's flat adjacency
+        (src, nbr): the broadcast side of the J2/J3 hub split, materialized
+        once so steady-state queries skip the in-degree agg + threshold +
+        quantile selection jobs entirely.
 
-    ``buckets`` plays the role of the cluster's parallelism unit; both tables
-    must share it for the exchange-free join. Returns the two table names.
+    ``buckets`` plays the role of the cluster's parallelism unit; both bucketed
+    tables must share it for the exchange-free join. Returns the table names
+    (edges, adjacency, hub_csr).
     """
+    from trianglecounting_spark.operators.triangles import _select_hub_csr
+
     spark = edges.sparkSession
     before = persistent_rdd_ids(spark)
-    # share the DODG computation between the two writes
+    # share the DODG computation between the writes
     d = orient_dodg(edges).localCheckpoint(eager=False)
-    adj = adjacency(d)
+    adj = adjacency(d).localCheckpoint(eager=False)
     e_tbl, a_tbl = f"{prefix}_edges_dodg", f"{prefix}_adjacency"
-    spark.sql(f"DROP TABLE IF EXISTS {e_tbl}")
-    spark.sql(f"DROP TABLE IF EXISTS {a_tbl}")
+    h_tbl = f"{prefix}_hub_csr"
+    for tbl in (e_tbl, a_tbl, h_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (
         d.write.format("parquet")
         .mode("overwrite")
@@ -65,7 +74,19 @@ def write_graph_layout(
         .option("path", os.path.join(base_dir, a_tbl))
         .saveAsTable(a_tbl)
     )
-    # the shared DODG checkpoint served both writes — release it now
+    _hubs, flat_pdf = _select_hub_csr(d, adj, hub_k)
+    hub_df = (
+        spark.createDataFrame(flat_pdf, schema="src long, nbr long")
+        if len(flat_pdf)
+        else spark.createDataFrame([], "src long, nbr long")
+    )
+    (
+        hub_df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", os.path.join(base_dir, h_tbl))
+        .saveAsTable(h_tbl)
+    )
+    # the shared DODG/adjacency checkpoints served all writes — release now
     release_ids(spark, persistent_rdd_ids(spark) - before)
     # Iceberg-style snapshot manifest: the layout is only usable if its two
     # tables are from the SAME source snapshot; the manifest records the
@@ -77,12 +98,14 @@ def write_graph_layout(
     import time
 
     manifest = {
-        "tables": {e_tbl: "edges_dodg", a_tbl: "adjacency"},
+        "tables": {e_tbl: "edges_dodg", a_tbl: "adjacency", h_tbl: "hub_csr"},
         "buckets": buckets,
         "bucket_keys": {e_tbl: "dst", a_tbl: "src"},
+        "hub_k": hub_k,
         "rows": {
             e_tbl: spark.table(e_tbl).count(),
             a_tbl: spark.table(a_tbl).count(),
+            h_tbl: int(len(flat_pdf)),
         },
         "written_at": time.time(),
     }
@@ -90,7 +113,7 @@ def write_graph_layout(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(base_dir, "_LAYOUT_MANIFEST.json"))
-    return e_tbl, a_tbl
+    return e_tbl, a_tbl, h_tbl
 
 
 def count_shuffle_exchanges(df: DataFrame) -> int:
