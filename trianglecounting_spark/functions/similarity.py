@@ -248,16 +248,26 @@ WHERE rnk <= {k} ORDER BY vec_id, rnk
 # ---------------------------------------------------------------------------
 
 def cosine_topk_kernel(embeddings: DataFrame, k: int = 5, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_rows: int = 1_000_000) -> DataFrame:
     """Brute-force exact top-k via a broadcast matrix + mapInPandas matmul.
 
     The full (normalized) matrix is broadcast once; each Arrow batch computes
     a `batch × all` similarity block with one numpy matmul and extracts top-k
-    with argpartition. Right shape for ≤ ~10^6 vectors × wide dims; beyond
-    that, ann_lsh_topk. Results identical to `cosine_topk` (same rounding and
-    tie-break).
+    with argpartition. This is the SMALL-REGIME tool by declared design (the
+    matrix is collected on the driver): ``max_rows`` makes the cap an enforced
+    contract rather than a docstring — beyond it, use ``ann_lsh_topk`` (no
+    collect, no all-pairs). Results identical to `cosine_topk` (same rounding
+    and tie-break).
     """
     spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_topk_kernel is the small-regime exact tool: {n} vectors "
+            f"> max_rows={max_rows}; use ann_lsh_topk (bucketed, distributed) "
+            "at this scale"
+        )
     rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
