@@ -69,13 +69,20 @@ EXACT_DEDUP_SQL = (
 
 def shingles(docs: DataFrame, k: int = 5) -> DataFrame:
     """Distinct character k-shingles of the normalized text.
-    Output (doc_id, shingle). Exploded form — the minhash input."""
+    Output (doc_id, shingle). Exploded form — the minhash input.
+
+    The normalization is hoisted into its own projection BEFORE the transform
+    lambda: an expression inside the lambda body is evaluated per element, so
+    inlining ``regexp_replace(text, ...)`` there costs one full-text regex pass
+    per shingle POSITION — O(len²) regex work per document (measured as the
+    dominant minhash cost). As a plain column it runs once per document."""
+    normed = docs.select("doc_id", _norm_col().alias("__t"))
     # substring(col, i, k) with a column start position needs the expr form:
     sh = F.expr(
-        f"transform(sequence(1, greatest(length({_spark_norm_expr()}) - {k - 1}, 1)), "
-        f"i -> substring({_spark_norm_expr()}, i, {k}))"
+        f"transform(sequence(1, greatest(length(__t) - {k - 1}, 1)), "
+        f"i -> substring(__t, i, {k}))"
     )
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return normed.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def _spark_norm_expr() -> str:
