@@ -48,7 +48,16 @@ def quality_score(docs: DataFrame) -> DataFrame:
     Floats rounded to 6 digits for oracle parity.
     Output (doc_id, n_chars, n_words, mean_word_len, punct_ratio, stop_ratio).
     """
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    # tokenization hoisted into its own projection: the five output columns
+    # reference it, and an interpreted Project (higher-order functions are not
+    # codegen'd) does no common-subexpression elimination — inlining `toks`
+    # would run the word regex over the full text 4× per row
+    tokked = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n_chars = F.length("text").cast("long")
     n_words = F.size(toks).cast("long")
     word_chars = F.aggregate(
@@ -60,7 +69,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     ).cast("long")
     en_stops = F.array(*[F.lit(s) for s in _STOP["en"]])
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en_stops, w)))
-    return docs.select(
+    return tokked.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
@@ -93,7 +102,12 @@ def language_id(docs: DataFrame) -> DataFrame:
     """Stopword-vote language ID: the language whose stopword list matches the
     most tokens wins (ties → lexicographically first language, 'und' if zero
     matches). Output (doc_id, lang_pred)."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    # same hoist as quality_score: one tokenization, referenced per language
+    tokked = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("__toks"),
+    )
+    toks = F.col("__toks")
 
     def contains(stops):
         # single-arg lambda factory: a 2-arg lambda would be interpreted by
@@ -118,7 +132,7 @@ def language_id(docs: DataFrame) -> DataFrame:
         F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
         lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
     )
-    return docs.select(
+    return tokked.select(
         "doc_id",
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
     )
