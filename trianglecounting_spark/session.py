@@ -31,9 +31,15 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    builder = SparkSession.builder.appName(app_name)
+    # Under spark-submit the master (yarn/k8s/standalone) comes from the
+    # submit command — setting it here would override the cluster manager.
+    # SPARK_GRAFT_INHERIT_MASTER=1 (set by tools/submit_main.py) defers to it;
+    # the default stays self-contained local[N] for tests/bench.
+    if not os.environ.get("SPARK_GRAFT_INHERIT_MASTER"):
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing + skew-join splitting — the table-level analogue
         # of the reference's dynamic load balancing (schedule(dynamic,100),
