@@ -107,6 +107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["triangle_count"] = lambda s, d: T.triangle_count_sql(_edges(s, d))
     q["triangle_count_kernel"] = lambda s, d: T.triangle_count_kernel(_edges(s, d))
     q["triangle_per_edge"] = lambda s, d: T.triangle_per_edge_support(_edges(s, d))
+    # the kernel's raw per-DODG-edge intersection counts (the reference's
+    # per-edge loop body output; the layout's left join already keeps every
+    # DODG edge, so zero-count edges are present)
+    q["triangle_per_directed_edge"] = lambda s, d: (
+        T.triangle_count_per_directed_edge_kernel(_edges(s, d))
+    )
     q["wedge_count"] = lambda s, d: T.wedge_count(_edges(s, d))
     q["clustering"] = lambda s, d: T.clustering_coefficients(_edges(s, d))
     q["support_topk"] = lambda s, d: (
@@ -270,6 +276,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["triangle_count_kernel"] = o["triangle_count"]
     o["triangle_per_edge"] = _SUPPORT + " SELECT u, v, support FROM full_sup"
+    o["triangle_per_directed_edge"] = (
+        _DODG + ", cnts AS MATERIALIZED (SELECT e1.src AS src, e1.dst AS dst, "
+        "count(*) AS c FROM d e1 JOIN d a ON a.src = e1.src "
+        "JOIN d b ON b.src = e1.dst AND b.dst = a.dst GROUP BY e1.src, e1.dst) "
+        "SELECT d.src, d.dst, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt "
+        "FROM d LEFT JOIN cnts c ON c.src = d.src AND c.dst = d.dst"
+    )
     o["wedge_count"] = (
         f"WITH e AS MATERIALIZED ({_E}), "
         "deg AS (SELECT x AS v, count(*) AS deg FROM "
