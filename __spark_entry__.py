@@ -178,6 +178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = lambda s, d: SIM.ann_lsh_topk_portable(
         _emb(s, d), dim=64, k=5, n_planes=6, seed=42, tables=2
     )
+    # embedding-cosine near-dup: LSH candidates + threshold (the embedding
+    # member of the dedup family)
+    q["embedding_near_dup"] = lambda s, d: SIM.embedding_near_duplicates(
+        _emb(s, d), dim=64, threshold=0.2, n_planes=6, seed=42, tables=2,
+        portable=True,
+    )
 
     # --- events (windowed aggregation) ---
     # hour emitted as a string so the value-hash is engine-portable
@@ -354,6 +360,9 @@ def oracle_sql() -> dict[str, str]:
     o["cosine_topk"] = SIM.cosine_topk_sql(k=5)
     o["cosine_topk_kernel"] = SIM.cosine_topk_sql(k=5)
     o["ann_lsh_topk"] = SIM.ann_lsh_topk_sql(dim=64, k=5, n_planes=6, seed=42, tables=2)
+    o["embedding_near_dup"] = SIM.embedding_near_duplicates_sql(
+        dim=64, threshold=0.2, n_planes=6, seed=42, tables=2
+    )
 
     o["events_hourly"] = (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, "

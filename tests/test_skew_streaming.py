@@ -184,3 +184,44 @@ def test_streaming_degrees_applyinpandaswithstate(spark, tmp_path):
     rows = spark.sql("select v, max(deg) as deg from sdeg group by v").collect()
     got = {r.v: r.deg for r in rows}
     assert got == {0: 3, 1: 2, 2: 2, 3: 1}
+
+
+def test_streaming_stateful_dedup_survives_restart(spark, tmp_path):
+    """The state store must recover from the checkpoint across query
+    restarts: an edge seen before the restart is still deduped after it."""
+    from trianglecounting_spark.streaming.edges import (
+        append_to_edge_table_stateful,
+        normalize_stream,
+        stream_raw_edges,
+    )
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+
+    def run_once():
+        raw = stream_raw_edges(spark, str(src_dir) + "/*")
+        q = (
+            append_to_edge_table_stateful(normalize_stream(raw), tbl, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(1, 2, "2024-01-01 00:00:10"), (3, 4, "2024-01-01 00:00:20")],
+        "src long, dst long, ts_s string",
+    ).select("src", "dst", F.col("ts_s").cast("timestamp").alias("ts"))
+    b1.write.parquet(str(src_dir / "f1"))
+    run_once()  # first lifetime: seeds the state store
+
+    # second lifetime: re-sends (1,2) (reversed) + a new edge
+    b2 = spark.createDataFrame(
+        [(2, 1, "2024-01-01 01:00:00"), (7, 8, "2024-01-01 01:00:10")],
+        "src long, dst long, ts_s string",
+    ).select("src", "dst", F.col("ts_s").cast("timestamp").alias("ts"))
+    b2.write.parquet(str(src_dir / "f2"))
+    run_once()
+
+    rows = sorted((r.u, r.v) for r in spark.read.parquet(tbl).collect())
+    assert rows == [(1, 2), (3, 4), (7, 8)]  # (2,1) deduped ACROSS the restart

@@ -300,3 +300,90 @@ def cosine_topk_kernel(embeddings: DataFrame, k: int = 5, id_col: str = "vec_id"
     return embeddings.select(id_col, vec_col).mapInPandas(
         block, schema="vec_id long, nbr_id long, sim double, rnk long"
     )
+
+
+def embedding_near_duplicates(embeddings: DataFrame, dim: int, threshold: float = 0.95,
+                              n_planes: int = 6, seed: int = 42, tables: int = 2,
+                              id_col: str = "vec_id", vec_col: str = "embedding",
+                              portable: bool = False, scale: int = 1000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH candidate generation
+    (multi-table SRP buckets — never all-pairs) + exact cosine filter.
+
+    The embedding-space member of the dedup family (dedup.py holds the text
+    ones): output ``(id_a, id_b, sim)`` with id_a < id_b, sim ≥ threshold,
+    rounded to 6 digits. ``portable=True`` uses the integer-grid/-plane
+    variant so the result is oracle-hashable across engines.
+    """
+    emb = int_grid(embeddings, vec_col, scale) if portable else embeddings
+    planes = (
+        [srp_planes_int(dim, n_planes, seed + t) for t in range(tables)]
+        if portable
+        else [_srp_planes(dim, n_planes, seed + t) for t in range(tables)]
+    )
+    ids_only = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    cands = None
+    for ps in planes:
+        bucketed = srp_bucket(ids_only, dim, n_planes, seed, vec_col, planes=ps)
+        a = bucketed.select("bucket", F.col("vec_id").alias("id_a"))
+        b = bucketed.select("bucket", F.col("vec_id").alias("id_b"))
+        p = (
+            a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = p if cands is None else cands.unionAll(p)
+    cands = cands.distinct()
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_duplicates_sql(dim: int, threshold: float = 0.95, n_planes: int = 6,
+                                  seed: int = 42, tables: int = 2,
+                                  scale: int = 1000) -> str:
+    """DuckDB twin of ``embedding_near_duplicates(portable=True)``."""
+    plane_sets = [srp_planes_int(dim, n_planes, seed + t) for t in range(tables)]
+
+    def bucket_expr(planes: list[list[float]]) -> str:
+        terms = []
+        for p, plane in enumerate(planes):
+            lits = ", ".join(str(int(x)) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, [{lits}]::DOUBLE[]) >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    bucket_cols = ", ".join(
+        f"{bucket_expr(ps)} AS bkt{t}" for t, ps in enumerate(plane_sets)
+    )
+    cand_selects = " UNION ".join(
+        f"SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a "
+        f"JOIN b b2 ON a.bkt{t} = b2.bkt{t} AND a.vec_id < b2.vec_id"
+        for t in range(tables)
+    )
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * {scale})) AS e
+  FROM embeddings
+), b AS MATERIALIZED (
+  SELECT vec_id, {bucket_cols} FROM emb
+), cand AS MATERIALIZED (
+  {cand_selects}
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(x.e, y.e) /
+             (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS sim
+FROM cand c JOIN emb x ON x.vec_id = c.id_a JOIN emb y ON y.vec_id = c.id_b
+WHERE round(list_dot_product(x.e, y.e) /
+            (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) >= {threshold}
+ORDER BY id_a, id_b
+""".strip()
