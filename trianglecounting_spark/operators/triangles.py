@@ -171,6 +171,21 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 # merge/gallop dispatch was measured slower at every ratio because it
 # re-introduces per-pair Python/numpy call overhead; it is therefore not
 # implemented.
+#
+# Round-3 measurement — whole-PARTITION vectorization rejected: the obvious
+# next step (segment-offset keys grp·M+dst, one partition-wide lexsort +
+# ONE searchsorted over all candidates, no Python loop at all) was built and
+# A/B-measured on the materialized layout: sf0.1 web graph (1.196M edges,
+# ~600-row groups) 1.8–2.4s vs 1.1–1.45s per-group; R-MAT scale-18
+# (3.8M edges, ~16-row groups — the many-small-groups shape) 9.2–18.7s vs
+# 2.2–3.4s per-group. The per-group loop wins BOTH regimes because the
+# searched array grows from one group's neighbors (L1-resident,
+# log₂|group| ≈ 4–10 steps) to the whole partition (≈1 MB, log₂|rows| ≈ 16–17
+# steps of cache-missing binary search) — a per-PROBE cost increase that
+# swamps the ~µs-per-GROUP dispatch it saves (probes outnumber groups ~250:1).
+# What survives from that experiment: the per-group `np.sort` is hoisted into
+# one stable partition-wide lexsort below (sorted neighbor sets become views,
+# zero per-group allocations).
 
 
 def _partition_views(tbl, hub_idx):
@@ -267,10 +282,14 @@ def _make_tc_partition(hub_bc):
                 _ids, offs, vals = hub_idx
             hub_rows = np.flatnonzero(hub_pos >= 0)
             bounds = _group_bounds(srcs)
+            # one stable partition-wide sort replaces a np.sort per group:
+            # group boundaries are unchanged (srcs is the major key), so each
+            # group's sorted neighbor set is a zero-copy VIEW of sdsts
+            sdsts = dsts[np.lexsort((dsts, srcs))]
             lo = 0
             for k in range(len(bounds) - 1):
                 gs, ge = bounds[k], bounds[k + 1]
-                nbrs_u = np.sort(dsts[gs:ge])
+                nbrs_u = sdsts[gs:ge]
                 jseg = j_values[j_offsets[gs]:j_offsets[ge]]
                 if jseg.size:
                     total += _hits(nbrs_u, jseg)
@@ -313,12 +332,13 @@ def _make_tc_partition_per_edge(hub_bc):
         counts = np.zeros(len(srcs), dtype=np.int64)
         hub_rows = np.flatnonzero(hub_pos >= 0)
         bounds = _group_bounds(srcs)
+        sdsts = dsts[np.lexsort((dsts, srcs))]  # see _make_tc_partition
         lo = 0
         for k in range(len(bounds) - 1):
             gs, ge = bounds[k], bounds[k + 1]
             base = j_offsets[gs]
             jseg = j_values[base:j_offsets[ge]]
-            nbrs_u = np.sort(dsts[gs:ge])
+            nbrs_u = sdsts[gs:ge]
             if jseg.size:
                 idx = np.searchsorted(nbrs_u, jseg)
                 idx[idx == len(nbrs_u)] = len(nbrs_u) - 1
@@ -373,11 +393,12 @@ def _make_tc_partition_enumerate(hub_bc):
             _ids, offs, vals = hub_idx
         hub_rows = np.flatnonzero(hub_pos >= 0)
         bounds = _group_bounds(srcs)
+        sdsts = dsts[np.lexsort((dsts, srcs))]  # see _make_tc_partition
         out_a, out_b, out_c = [], [], []
         lo = 0
         for k in range(len(bounds) - 1):
             gs, ge = bounds[k], bounds[k + 1]
-            nbrs_u = np.sort(dsts[gs:ge])
+            nbrs_u = sdsts[gs:ge]
             base = j_offsets[gs]
             jseg = j_values[base:j_offsets[ge]]
             if jseg.size:
