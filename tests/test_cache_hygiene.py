@@ -86,3 +86,26 @@ def test_results_correct_after_release(spark):
     total = ranks.agg(F.round(F.sum("score"), 6).alias("s")).collect()[0].s
     assert abs(total - 1.0) < 1e-6
     release_all_cached(spark)
+
+
+def test_tracked_checkpoint_spares_sql_caches(spark):
+    """A DataFrame.persist() cache whose buffers first materialize INSIDE a
+    tracked_checkpoint job must survive the sweep (ADVICE r2: pagerank's
+    pre-partitioned edge table was built during the first checkpoint and then
+    permanently unpersisted — every later iteration re-shuffled the edges).
+    Only locally-checkpointed scratch may be released."""
+    release_all_cached(spark)
+    before = persistent_rdd_ids(spark)
+    base = spark.range(1000).select(
+        F.col("id").alias("v"), (F.col("id") % 7).alias("x")
+    ).persist()  # lazy: no action yet, buffers not built
+    derived = base.groupBy("x").agg(F.count(F.lit(1)).alias("n"))
+    out, own = tracked_checkpoint(derived, before=before)
+    surviving_caches = persistent_rdd_ids(spark) - before - own
+    assert surviving_caches, "the SQL cache buffer was swept by tracked_checkpoint"
+    # and the cache is still SERVING: re-derivation runs against cached buffers
+    assert base.count() == 1000
+    assert out.agg(F.sum("n")).collect()[0][0] == 1000
+    base.unpersist()
+    release_all_cached(spark)
+    assert persistent_rdd_ids(spark) == set()

@@ -57,11 +57,31 @@ def release_all_cached(
     return release_ids(spark, ids, blocking)
 
 
+def locally_checkpointed_ids(spark: SparkSession, ids: set[int]) -> set[int]:
+    """Subset of ``ids`` whose RDD is marked for LOCAL CHECKPOINT (the mark is
+    set at ``localCheckpoint()`` call time, before materialization). SQL-cache
+    buffer RDDs (``DataFrame.persist``, owned by the CacheManager) are never
+    locally checkpointed, so this distinguishes "iteration scratch this helper
+    owns" from "a cache some caller still relies on"."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    out: set[int] = set()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        try:
+            if jrdd is not None and jrdd.rdd().isLocallyCheckpointed():
+                out.add(rid)
+        except Exception:
+            # introspection failure → leave the block alone (release here is
+            # best-effort hygiene; wrongly unpersisting a live cache is worse)
+            continue
+    return out
+
+
 def tracked_checkpoint(
     df: DataFrame, before: set[int] | None = None
 ) -> tuple[DataFrame, set[int]]:
     """Eager localCheckpoint that returns ``(materialized_df, its_block_ids)``
-    and releases every OTHER persistent block the step created.
+    and releases every OTHER *locally-checkpointed* block the step created.
 
     ``before`` — pass a ``persistent_rdd_ids`` snapshot taken before the input
     plan was *constructed* when that construction itself registers lazy
@@ -70,6 +90,13 @@ def tracked_checkpoint(
     checkpoint materializes, so they are released here, deterministically,
     instead of waiting for a JVM GC. The checkpointed result's own block id is
     read off its LogicalRDD, so the release can never hit the result itself.
+
+    The release sweeps ONLY locally-checkpointed RDDs: a ``DataFrame.persist``
+    cache whose buffers first materialize *inside* this checkpoint's job
+    (e.g. pagerank's pre-partitioned edge table on its first iteration) also
+    shows up in the created-set, but unpersisting it would silently disable
+    the cache for every later iteration — the CacheManager's plan entry stays
+    while the direct RDD unpersist never re-persists the buffers.
     """
     spark = df.sparkSession
     if before is None:
@@ -77,5 +104,5 @@ def tracked_checkpoint(
     out = df.localCheckpoint(eager=True)
     created = persistent_rdd_ids(spark) - before
     own = {int(out._jdf.queryExecution().analyzed().rdd().id())}
-    release_ids(spark, created - own)
+    release_ids(spark, locally_checkpointed_ids(spark, created - own))
     return out, own

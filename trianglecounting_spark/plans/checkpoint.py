@@ -24,7 +24,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class IterationCheckpointer:
@@ -60,11 +60,15 @@ class IterationCheckpointer:
         state.write.mode("overwrite").parquet(state_dir)
         reread = self.spark.read.parquet(state_dir)
         # per-partition lineage/metrics row (north_rule): rows per partition of
-        # the durable snapshot as written.
-        part_rows = (
-            reread.rdd.mapPartitionsWithIndex(
-                lambda i, it: [(i, sum(1 for _ in it))]
-            ).collect()
+        # the durable snapshot as written. JVM-side (spark_partition_id +
+        # partial count-aggregate) — the collect moves #partitions rows, never
+        # data rows; a Python per-row pass here would be the slowest part of
+        # checkpointing a 10^10-row state.
+        part_rows = sorted(
+            (int(r["_pid"]), int(r["_rows"]))
+            for r in reread.groupBy(
+                F.spark_partition_id().alias("_pid")
+            ).agg(F.count(F.lit(1)).alias("_rows")).collect()
         )
         metrics = {
             "iteration": k,
