@@ -196,3 +196,54 @@ def test_triangle_count_approx_unbiased_form(spark):
     assert r2.triangles_est == 8 * r2.sampled_triangles
     r2b = triangle_count_approx(e.repartition(7), p_inv=2).collect()[0]
     assert (r2.triangles_est, r2.sampled_triangles) == (r2b.triangles_est, r2b.sampled_triangles)
+
+
+def test_ann_hot_bucket_salt_split(spark):
+    """Adversarial same-bucket input (identical vectors — they collide under
+    EVERY hyperplane, so no re-projection can split them): the salt split must
+    bound every (bucket, salt) group near bucket_cap so no task's self-join
+    emits O(n²) pairs, and the capped top-k must match the rule's closed form
+    (identical vectors ⇒ sim 1.0 everywhere ⇒ top-k = smallest other ids
+    within the member's salt group)."""
+    n, cap, n_planes, seed = 2000, 100, 6, 42
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0) for _ in range(8)]).alias("embedding"),
+    )
+    bucketed = sim.srp_bucket(emb, dim=8, n_planes=n_planes, seed=seed)
+    salted = sim._salted(bucketed, cap, seed)
+    sizes = [r["c"] for r in salted.groupBy("bucket", "salt").agg(
+        F.count(F.lit(1)).alias("c")).collect()]
+    assert len(sizes) >= n // cap          # the flood actually split
+    assert max(sizes) <= 2 * cap           # ≈cap with universal-hash slack
+
+    out = sim.ann_lsh_topk(
+        emb, dim=8, k=3, n_planes=n_planes, seed=seed, tables=2, bucket_cap=cap
+    ).collect()
+    # closed form of the capped rule (same salt hash, nsplit = ceil(n/cap))
+    nsplit = -(-n // cap)
+    groups: dict[int, list[int]] = {}
+    for v in range(n):
+        groups.setdefault(
+            ((v % sim._CAP_M) * sim._CAP_A + seed) % sim._CAP_M % nsplit, []
+        ).append(v)
+    expected = {}
+    for members in groups.values():
+        for v in members:
+            expected[v] = sorted(m for m in members if m != v)[:3]
+    got: dict[int, list[int]] = {}
+    for r in sorted(out, key=lambda r: (r.vec_id, r.rnk)):
+        got.setdefault(r.vec_id, []).append(r.nbr_id)
+        assert r.sim == 1.0
+    assert got == {v: e for v, e in expected.items() if e}
+
+
+def test_ann_cap_inactive_below_threshold(spark):
+    """Below the cap every salt is 0 — results identical to the uncapped
+    join (the default-cap driver oracle stays hash-green)."""
+    e = _embeddings(spark)
+    capped = sorted(map(tuple, sim.ann_lsh_topk(
+        e, dim=8, k=2, n_planes=2, bucket_cap=100).collect()))
+    uncapped = sorted(map(tuple, sim.ann_lsh_topk(
+        e, dim=8, k=2, n_planes=2, bucket_cap=10**9).collect()))
+    assert capped == uncapped

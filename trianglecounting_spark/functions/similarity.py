@@ -135,19 +135,78 @@ def srp_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8, seed: int = 4
     return embeddings.withColumn("bucket", bucket)
 
 
+# Universal-hash constants for the hot-bucket salt split: pure int64
+# arithmetic with no overflow ((x % M)·A < 2^62), identical in Spark and
+# DuckDB, so capped bucket assignments — and therefore the candidate set —
+# are bit-portable across engines.
+_CAP_M = 1_000_000_007
+_CAP_A = 2_654_435_761
+BUCKET_CAP_DEFAULT = 20_000
+
+
+def _salted(bucketed: DataFrame, bucket_cap: int, seed: int) -> DataFrame:
+    """Bound the LSH self-join's per-bucket pair volume: a bucket of size s
+    is split into ``ceil(s / bucket_cap)`` salt groups by a universal hash of
+    ``vec_id``, and the candidate join keys on (bucket, salt).
+
+    Rationale (100 TB): a degenerate embedding cluster — all vectors on one
+    side of every plane, common in near-duplicate-heavy corpora — puts n rows
+    in one bucket and the uncapped join emits n² pairs; AQE splits the shuffle
+    but not the pair volume. Salting caps any single bucket's output at
+    ~nsplit·cap² pairs (linear in s for fixed cap), the same hub-capping move
+    as `capped_adjacency`. Id-hash (not re-projection) splitting is the only
+    rule that also bounds IDENTICAL vectors, which collide under every
+    possible hyperplane. Cost: recall inside over-full buckets only — pairs
+    across salt groups are dropped, exactly the n² flood being bounded; under
+    the cap the salt is constant 0 and results are unchanged.
+    """
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+    nsplit = F.ceil(F.col("_bsz") / F.lit(float(bucket_cap))).cast("long")
+    salt = (
+        (F.col("vec_id") % F.lit(_CAP_M)) * F.lit(_CAP_A) + F.lit(seed)
+    ) % F.lit(_CAP_M) % nsplit
+    return (
+        bucketed.join(sizes, "bucket")
+        .select("vec_id", "bucket", salt.alias("salt"))
+    )
+
+
+def _cap_sql_ctes(bucket_cols_table: str, tables: int, bucket_cap: int,
+                  seed: int) -> tuple[str, list[str]]:
+    """DuckDB twin of ``_salted``: per-table salted-bucket CTEs over the
+    bucket table ``b``. Returns (ctes_sql, per-table CTE names)."""
+    ctes, names = [], []
+    for t in range(tables):
+        ctes.append(
+            f"bsz{t} AS MATERIALIZED (SELECT bkt{t} AS k, count(*) AS c "
+            f"FROM {bucket_cols_table} GROUP BY bkt{t})"
+        )
+        ctes.append(
+            f"bs{t} AS MATERIALIZED (SELECT b.vec_id, b.bkt{t}, "
+            f"((b.vec_id % {_CAP_M}) * {_CAP_A} + {seed}) % {_CAP_M} "
+            f"% CAST(ceil(z.c * 1.0 / {bucket_cap}) AS BIGINT) AS salt "
+            f"FROM {bucket_cols_table} b JOIN bsz{t} z ON z.k = b.bkt{t})"
+        )
+        names.append(f"bs{t}")
+    return ", ".join(ctes), names
+
+
 def ann_lsh_topk(embeddings: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
                  seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
                  tables: int = 1,
-                 planes_per_table: list[list[list[float]]] | None = None) -> DataFrame:
+                 planes_per_table: list[list[list[float]]] | None = None,
+                 bucket_cap: int = BUCKET_CAP_DEFAULT) -> DataFrame:
     """Approximate top-k: candidate pairs from ``tables`` independent SRP
     bucket tables (OR-ing — the standard LSH recall lever), deduplicated, then
     ONE exact cosine re-rank over the distinct candidate set.
 
     Each table's self-join is on its `bucket` — expected bucket size
     n/2^planes, so the pair space shrinks by ~2^planes vs brute force while
-    extra tables recover recall multiplicatively. Candidates-then-rerank keeps
-    the (wide) vector payload out of the candidate shuffle: the per-table
-    joins move only (bucket, id) pairs; vectors are joined back once.
+    extra tables recover recall multiplicatively; buckets over ``bucket_cap``
+    are salt-split (``_salted``) so no degenerate cluster can emit O(n²)
+    pairs. Candidates-then-rerank keeps the (wide) vector payload out of the
+    candidate shuffle: the per-table joins move only (bucket, salt, id)
+    rows; vectors are joined back once.
     Output schema identical to `cosine_topk`.
     """
     if planes_per_table is None:
@@ -158,10 +217,11 @@ def ann_lsh_topk(embeddings: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
     cands = None
     for planes in planes_per_table:
         bucketed = srp_bucket(ids_only, dim, n_planes, seed, vec_col, planes=planes)
-        a = bucketed.select("bucket", "vec_id")
-        b = bucketed.select("bucket", F.col("vec_id").alias("nbr_id"))
+        salted = _salted(bucketed, bucket_cap, seed)
+        a = salted.select("bucket", "salt", "vec_id")
+        b = salted.select("bucket", "salt", F.col("vec_id").alias("nbr_id"))
         p = (
-            a.join(b, "bucket")
+            a.join(b, ["bucket", "salt"])
             .where(F.col("vec_id") != F.col("nbr_id"))
             .select("vec_id", "nbr_id")
         )
@@ -184,7 +244,8 @@ def ann_lsh_topk(embeddings: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
 def ann_lsh_topk_portable(embeddings: DataFrame, dim: int, k: int = 5,
                           n_planes: int = 6, seed: int = 42, tables: int = 2,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          scale: int = 1000) -> DataFrame:
+                          scale: int = 1000,
+                          bucket_cap: int = BUCKET_CAP_DEFAULT) -> DataFrame:
     """Engine-portable ANN: integer-grid embeddings × integer planes make
     every bucket sign exact, so the result is hash-comparable against the
     DuckDB twin ``ann_lsh_topk_sql`` (the driver CORRECTNESS gate)."""
@@ -192,15 +253,17 @@ def ann_lsh_topk_portable(embeddings: DataFrame, dim: int, k: int = 5,
     planes = [srp_planes_int(dim, n_planes, seed + t) for t in range(tables)]
     return ann_lsh_topk(
         grid, dim, k, n_planes, seed, id_col, vec_col,
-        tables=tables, planes_per_table=planes,
+        tables=tables, planes_per_table=planes, bucket_cap=bucket_cap,
     )
 
 
 def ann_lsh_topk_sql(dim: int, k: int = 5, n_planes: int = 6, seed: int = 42,
-                     tables: int = 2, scale: int = 1000) -> str:
+                     tables: int = 2, scale: int = 1000,
+                     bucket_cap: int = BUCKET_CAP_DEFAULT) -> str:
     """DuckDB oracle for ``ann_lsh_topk_portable``: identical integer planes
     (emitted as literals), identical floor-grid quantization, identical
-    candidate OR-ing + re-rank + rounding + tie-break."""
+    hot-bucket salt split, identical candidate OR-ing + re-rank + rounding +
+    tie-break."""
     plane_sets = [srp_planes_int(dim, n_planes, seed + t) for t in range(tables)]
 
     def bucket_expr(planes: list[list[float]]) -> str:
@@ -216,9 +279,11 @@ def ann_lsh_topk_sql(dim: int, k: int = 5, n_planes: int = 6, seed: int = 42,
     bucket_cols = ", ".join(
         f"{bucket_expr(ps)} AS bkt{t}" for t, ps in enumerate(plane_sets)
     )
+    cap_ctes, names = _cap_sql_ctes("b", tables, bucket_cap, seed)
     cand_selects = " UNION ".join(
-        f"SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id FROM b a "
-        f"JOIN b b2 ON a.bkt{t} = b2.bkt{t} AND a.vec_id <> b2.vec_id"
+        f"SELECT a.vec_id AS vec_id, b2.vec_id AS nbr_id FROM {names[t]} a "
+        f"JOIN {names[t]} b2 ON a.bkt{t} = b2.bkt{t} AND a.salt = b2.salt "
+        f"AND a.vec_id <> b2.vec_id"
         for t in range(tables)
     )
     return f"""
@@ -227,7 +292,7 @@ WITH emb AS MATERIALIZED (
   FROM embeddings
 ), b AS MATERIALIZED (
   SELECT vec_id, {bucket_cols} FROM emb
-), cand AS MATERIALIZED (
+), {cap_ctes}, cand AS MATERIALIZED (
   {cand_selects}
 ), pairs AS (
   SELECT c.vec_id, c.nbr_id,
@@ -261,14 +326,16 @@ def cosine_topk_kernel(embeddings: DataFrame, k: int = 5, id_col: str = "vec_id"
     and tie-break).
     """
     spark = embeddings.sparkSession
-    n = embeddings.count()
-    if n > max_rows:
+    # the cap is enforced on the collect itself (limit probe) — a separate
+    # count() action would evaluate the whole upstream plan twice when the
+    # input is an unmaterialized pipeline
+    rows = embeddings.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"cosine_topk_kernel is the small-regime exact tool: {n} vectors "
-            f"> max_rows={max_rows}; use ann_lsh_topk (bucketed, distributed) "
-            "at this scale"
+            f"cosine_topk_kernel is the small-regime exact tool: > "
+            f"max_rows={max_rows} vectors; use ann_lsh_topk (bucketed, "
+            "distributed) at this scale"
         )
-    rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -305,9 +372,11 @@ def cosine_topk_kernel(embeddings: DataFrame, k: int = 5, id_col: str = "vec_id"
 def embedding_near_duplicates(embeddings: DataFrame, dim: int, threshold: float = 0.95,
                               n_planes: int = 6, seed: int = 42, tables: int = 2,
                               id_col: str = "vec_id", vec_col: str = "embedding",
-                              portable: bool = False, scale: int = 1000) -> DataFrame:
+                              portable: bool = False, scale: int = 1000,
+                              bucket_cap: int = BUCKET_CAP_DEFAULT) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH candidate generation
-    (multi-table SRP buckets — never all-pairs) + exact cosine filter.
+    (multi-table SRP buckets — never all-pairs, hot buckets salt-split) +
+    exact cosine filter.
 
     The embedding-space member of the dedup family (dedup.py holds the text
     ones): output ``(id_a, id_b, sim)`` with id_a < id_b, sim ≥ threshold,
@@ -324,10 +393,11 @@ def embedding_near_duplicates(embeddings: DataFrame, dim: int, threshold: float 
     cands = None
     for ps in planes:
         bucketed = srp_bucket(ids_only, dim, n_planes, seed, vec_col, planes=ps)
-        a = bucketed.select("bucket", F.col("vec_id").alias("id_a"))
-        b = bucketed.select("bucket", F.col("vec_id").alias("id_b"))
+        salted = _salted(bucketed, bucket_cap, seed)
+        a = salted.select("bucket", "salt", F.col("vec_id").alias("id_a"))
+        b = salted.select("bucket", "salt", F.col("vec_id").alias("id_b"))
         p = (
-            a.join(b, "bucket")
+            a.join(b, ["bucket", "salt"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
@@ -348,7 +418,8 @@ def embedding_near_duplicates(embeddings: DataFrame, dim: int, threshold: float 
 
 def embedding_near_duplicates_sql(dim: int, threshold: float = 0.95, n_planes: int = 6,
                                   seed: int = 42, tables: int = 2,
-                                  scale: int = 1000) -> str:
+                                  scale: int = 1000,
+                                  bucket_cap: int = BUCKET_CAP_DEFAULT) -> str:
     """DuckDB twin of ``embedding_near_duplicates(portable=True)``."""
     plane_sets = [srp_planes_int(dim, n_planes, seed + t) for t in range(tables)]
 
@@ -365,9 +436,11 @@ def embedding_near_duplicates_sql(dim: int, threshold: float = 0.95, n_planes: i
     bucket_cols = ", ".join(
         f"{bucket_expr(ps)} AS bkt{t}" for t, ps in enumerate(plane_sets)
     )
+    cap_ctes, names = _cap_sql_ctes("b", tables, bucket_cap, seed)
     cand_selects = " UNION ".join(
-        f"SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a "
-        f"JOIN b b2 ON a.bkt{t} = b2.bkt{t} AND a.vec_id < b2.vec_id"
+        f"SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM {names[t]} a "
+        f"JOIN {names[t]} b2 ON a.bkt{t} = b2.bkt{t} AND a.salt = b2.salt "
+        f"AND a.vec_id < b2.vec_id"
         for t in range(tables)
     )
     return f"""
@@ -376,7 +449,7 @@ WITH emb AS MATERIALIZED (
   FROM embeddings
 ), b AS MATERIALIZED (
   SELECT vec_id, {bucket_cols} FROM emb
-), cand AS MATERIALIZED (
+), {cap_ctes}, cand AS MATERIALIZED (
   {cand_selects}
 )
 SELECT c.id_a, c.id_b,
