@@ -122,3 +122,19 @@ def test_kernel_probe_instrumentation(spark):
     expected_probes = sum(v * (n - 1 - v) for v in range(n))
     assert m["probes"] == expected_probes == 20
     assert m["hits"] == 20
+
+
+def test_hub_csr_budget_fallback(spark, monkeypatch):
+    """When the flat hub CSR would exceed the byte budget, the kernel must
+    fall back to the hub-less join path (same exact count) instead of
+    collecting an unbounded CSR onto the driver."""
+    import trianglecounting_spark.operators.triangles as T
+
+    e = normalize_edges(g.rmat_graph(spark, scale=9, edge_factor=8))
+    expected = triangle_count_kernel(e).collect()[0].triangles
+    monkeypatch.setattr(T, "HUB_BUDGET_BYTES", 64)  # a few rows at most
+    d = T.orient_dodg(e).localCheckpoint(eager=False)
+    adj = T.adjacency(d).localCheckpoint(eager=False)
+    hubs, flat = T._select_hub_csr(d, adj, hub_k=65536)
+    assert hubs is None and flat is None  # the guard tripped
+    assert T.triangle_count_kernel(e).collect()[0].triangles == expected

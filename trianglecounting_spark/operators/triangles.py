@@ -504,7 +504,17 @@ def _layout_from_dodg(
     return _assemble_layout(d, adj, hubs, hub_flat, num_partitions)
 
 
-def _select_hub_csr(d: DataFrame, adj: DataFrame, hub_k: int):
+# Hard ceiling for the broadcast flat hub CSR (two int64 columns). The
+# docstring bound "high in-degree ⇒ high rank ⇒ short out-list" (measured
+# 48 MB at m = 7.7M) is now an ENFORCED contract: past the budget the kernel
+# falls back to the plain dst join (hub split disabled) instead of a silent
+# driver/executor memory blow-up — same answers, just without the wedge-
+# replication optimization.
+HUB_BUDGET_BYTES = 256 << 20
+
+
+def _select_hub_csr(d: DataFrame, adj: DataFrame, hub_k: int,
+                    budget_bytes: int | None = None):
     """Pick the hub set and collect its flat CSR to the driver.
 
     Hub selection by in-degree THRESHOLD, not top-K: orderBy().limit(K)
@@ -517,11 +527,14 @@ def _select_hub_csr(d: DataFrame, adj: DataFrame, hub_k: int):
     longs; in practice high in-degree ⇒ high rank ⇒ short out-list: 65k hubs
     ≈ 48 MB at m = 7.7M while absorbing 99.3% of replication).
 
-    Returns (hubs_df (dst: long), flat_pdf (src, nbr) pandas sorted) — the
+    Returns (hubs_df (dst: long), flat_pdf (src, nbr) pandas, unsorted) — the
     flat CSR is collected through Arrow as two FLAT int columns (explode):
     a row-object collect of 65k list rows costs tens of seconds of
-    single-threaded driver work; this is two zero-copy numpy columns.
+    single-threaded driver work; this is two zero-copy numpy columns. The
+    collect is a LIMIT probe against the byte budget: if the flat CSR would
+    exceed it, returns (None, None) and the caller runs hub-less.
     """
+    budget = HUB_BUDGET_BYTES if budget_bytes is None else budget_bytes
     indeg = d.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
     candidates = indeg.where(F.col("indeg") >= 8).localCheckpoint(eager=False)
     n_cand = candidates.count()
@@ -530,22 +543,31 @@ def _select_hub_csr(d: DataFrame, adj: DataFrame, hub_k: int):
         thresh = candidates.approxQuantile("indeg", [frac], 0.01)[0]
         candidates = candidates.where(F.col("indeg") >= thresh)
     hubs = candidates.select("dst").localCheckpoint(eager=False)
+    budget_rows = max(1, budget // 16)  # two int64 columns per row
     flat_pdf = (
         adj.join(hubs.withColumnRenamed("dst", "src"), "src")
         .select("src", F.explode("nbrs").alias("nbr"))
-        .sort("src", "nbr")
+        .limit(budget_rows + 1)
         .toPandas()
     )
+    if len(flat_pdf) > budget_rows:
+        return None, None
     return hubs, flat_pdf
 
 
 def _broadcast_hub_csr(spark, flat_pdf):
     """(src, nbr) flat pandas frame → broadcast (ids, offsets, values) CSR.
-    Hubs with empty out-lists vanish in the explode — a kernel lookup miss
-    means empty, which is exactly right."""
+    Grouping happens here with one driver-side lexsort (the collect is
+    order-free, so the limit probe needs no distributed sort); values need no
+    order — they are the PROBE side of the intersection, the searched side is
+    always the partition-sorted group neighbors. Hubs with empty out-lists
+    vanish in the explode — a kernel lookup miss means empty, which is
+    exactly right."""
     hub_srcs = flat_pdf["src"].to_numpy(dtype=np.int64)
     values = flat_pdf["nbr"].to_numpy(dtype=np.int64)
     if len(hub_srcs):
+        order = np.lexsort((values, hub_srcs))
+        hub_srcs, values = hub_srcs[order], values[order]
         ids, first_idx = np.unique(hub_srcs, return_index=True)
         offsets = np.concatenate((first_idx, [len(hub_srcs)])).astype(np.int64)
     else:
@@ -645,9 +667,13 @@ def bucketed_kernel_layout(
     have no adjacency row, so both paths yield the same empty set."""
     d, adj = spark.table(edges_table), spark.table(adj_table)
     if hub_table is not None:
-        flat_pdf = spark.table(hub_table).sort("src", "nbr").toPandas()
-        hubs = spark.table(hub_table).select(F.col("src").alias("dst")).distinct()
-        return _assemble_layout(d, adj, hubs, flat_pdf, None)
+        budget_rows = max(1, HUB_BUDGET_BYTES // 16)
+        flat_pdf = spark.table(hub_table).limit(budget_rows + 1).toPandas()
+        if len(flat_pdf) <= budget_rows:
+            hubs = spark.table(hub_table).select(F.col("src").alias("dst")).distinct()
+            return _assemble_layout(d, adj, hubs, flat_pdf, None)
+        # pre-materialized CSR over budget (layout written under a larger
+        # budget): fall through to fresh selection, whose own guard applies
     return _layout_from_dodg(d, adj, None, hub_k)
 
 

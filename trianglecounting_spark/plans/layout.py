@@ -75,9 +75,12 @@ def write_graph_layout(
         .saveAsTable(a_tbl)
     )
     _hubs, flat_pdf = _select_hub_csr(d, adj, hub_k)
+    # over-budget hub CSR (triangles.HUB_BUDGET_BYTES) → write an empty table:
+    # steady-state readers then run hub-less, the same fallback the per-query
+    # path takes
     hub_df = (
         spark.createDataFrame(flat_pdf, schema="src long, nbr long")
-        if len(flat_pdf)
+        if flat_pdf is not None and len(flat_pdf)
         else spark.createDataFrame([], "src long, nbr long")
     )
     (
@@ -105,7 +108,7 @@ def write_graph_layout(
         "rows": {
             e_tbl: spark.table(e_tbl).count(),
             a_tbl: spark.table(a_tbl).count(),
-            h_tbl: int(len(flat_pdf)),
+            h_tbl: int(len(flat_pdf)) if flat_pdf is not None else 0,
         },
         "written_at": time.time(),
     }
