@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from trianglecounting_spark.operators.normalize import normalize_edges
@@ -135,3 +137,21 @@ def test_url_dictionary_dense_and_deterministic(spark):
     assert sorted(d1.values()) == list(range(64))
     # sorted-url order
     assert [u for u, _ in sorted(d1.items(), key=lambda kv: kv[1])] == sorted(d1)
+
+
+def test_binary_sinks_reject_out_of_range_ids(spark, tmp_path):
+    """Ids past the target dtype must raise instead of silently wrapping and
+    corrupting the interchange file handed to the reference tooling."""
+    from trianglecounting_spark.sources.readers import (
+        write_edges_binary_pairs,
+        write_edges_yche_bin,
+    )
+
+    big = spark.createDataFrame([(1, 2**31 + 5)], "u long, v long")
+    with pytest.raises(Exception, match="range"):
+        write_edges_yche_bin(big, str(tmp_path / "y.bin"))
+    try:
+        write_edges_binary_pairs(big, str(tmp_path / "shards"))
+        raise AssertionError("expected the u4 range check to fire")
+    except Exception as exc:  # Spark wraps the executor-side ValueError
+        assert "range" in str(exc)

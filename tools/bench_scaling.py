@@ -84,7 +84,7 @@ def main() -> None:
                     out[k] = min(out[k], v)
         # recompute derived throughputs from the merged minima so every
         # reported rate is consistent with the reported time
-        for name in ("kernel", "pipeline", "sql"):
+        for name in ("kernel", "pipeline", "query", "sql"):
             if out.get(f"{name}_sec"):
                 out[f"{name}_edges_per_sec"] = round(out["edges"] / out[f"{name}_sec"], 1)
         out["kernel_probes_per_sec"] = round(out["probes"] / out["kernel_sec"], 1)

@@ -70,6 +70,7 @@ def write_edges_binary_pairs(edges: DataFrame, path: str, dtype: str = "<u4") ->
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        lo, hi = 0, int(np.iinfo(np.dtype(dt)).max)
         rows, fh = 0, None
         try:
             for b in batches:
@@ -77,6 +78,15 @@ def write_edges_binary_pairs(edges: DataFrame, path: str, dtype: str = "<u4") ->
                     continue
                 u = b.column(0).to_numpy(zero_copy_only=False)
                 v = b.column(1).to_numpy(zero_copy_only=False)
+                # ids out of the target dtype's range would silently WRAP in
+                # the astype, corrupting the interchange file handed to the
+                # reference tooling — fail instead
+                for arr in (u, v):
+                    if arr.size and (arr.min() < lo or arr.max() > hi):
+                        raise ValueError(
+                            f"vertex id outside {dt} range [{lo}, {hi}]: "
+                            "this graph cannot round-trip the raw pair format"
+                        )
                 pairs = np.column_stack((u, v)).astype(np.dtype(dt))
                 if fh is None:
                     fh = open(os.path.join(path, f"part-{pid:05d}.bin"), "wb")
@@ -125,14 +135,23 @@ def write_edges_yche_bin(edges: DataFrame, file_path: str, max_edges: int = 50_0
     reduced) graph to the reference's single-node tools, guarded by
     ``max_edges``; full-scale data interchange stays sharded/parquet."""
     pdf = edges.select(
-        F.col("u").cast("int").alias("u"), F.col("v").cast("int").alias("v")
+        F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v")
     ).toPandas()
     n = len(pdf)
     if n > max_edges:
         raise ValueError(f"{n} edges > max_edges={max_edges}: not a single-file export")
-    pairs = np.column_stack(
-        (pdf["u"].to_numpy(np.int32), pdf["v"].to_numpy(np.int32))
-    )
+    u64 = pdf["u"].to_numpy(np.int64)
+    v64 = pdf["v"].to_numpy(np.int64)
+    # the format stores int32 ids; a silent wrap would corrupt the file the
+    # reference tooling reads — validate before narrowing
+    hi = np.iinfo(np.int32).max
+    for arr in (u64, v64):
+        if arr.size and (arr.min() < 0 or arr.max() > hi):
+            raise ValueError(
+                f"vertex id outside int32 range [0, {hi}]: this graph cannot "
+                "round-trip the yche count-prefixed format"
+            )
+    pairs = np.column_stack((u64.astype(np.int32), v64.astype(np.int32)))
     with open(file_path, "wb") as f:
         f.write(np.uint64(n).tobytes())
         f.write(pairs.astype("<i4").tobytes())

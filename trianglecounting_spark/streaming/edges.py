@@ -122,7 +122,28 @@ def append_to_edge_table_stateful(
     count — the information-theoretic floor for exact dedup — sharded across
     executors and recovered from the checkpoint on restart, so a crawl that
     streams for months never re-reads the canonical table on the hot path.
+
+    Contract: the state covers only edges THIS query has streamed — it must
+    start from an empty table + fresh checkpoint (or resume its own
+    checkpoint). Pointing a fresh query at a pre-existing table would
+    silently append duplicates of the historical rows, so that combination
+    raises; seeding history into the state store is not expressible — use
+    ``append_to_edge_table`` (per-batch anti-join) to extend a table written
+    by another writer.
     """
+    import os
+
+    if (
+        os.path.isdir(table_path)
+        and os.listdir(table_path)
+        and not os.path.isdir(checkpoint)
+    ):
+        raise ValueError(
+            f"append_to_edge_table_stateful: {table_path} already has data but "
+            f"{checkpoint} is a fresh checkpoint — the state store cannot know "
+            "the historical edges and would append duplicates. Resume the "
+            "original checkpoint, or use append_to_edge_table (anti-join)."
+        )
     deduped = stream.select("u", "v").dropDuplicates(["u", "v"])
     return (
         deduped.writeStream.format("parquet")
