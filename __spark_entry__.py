@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from trianglecounting_spark.sources import generators as g
 from trianglecounting_spark.operators import normalize as N
 from trianglecounting_spark.operators import triangles as T
-from trianglecounting_spark.operators.pagerank import pagerank, pagerank_unrolled_sql
+from trianglecounting_spark.operators.pagerank import (
+    pagerank,
+    pagerank_tol_unrolled_sql,
+    pagerank_unrolled_sql,
+)
 from trianglecounting_spark.operators.components import (
     connected_components,
     cc_minlabel_unrolled_sql,
@@ -73,6 +77,35 @@ def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the ACTUAL Structured Streaming ingestion path (readStream →
+    normalize_stream → state-store exact dedup → parquet sink) over the
+    lineitem raw edges staged as a static file source, drained with one
+    availableNow trigger. The durable edge table it writes is the result —
+    the streaming lane's oracle row (the round-2 gap: `streaming/edges.py`
+    was pytest-only)."""
+    import os
+    import tempfile
+
+    from trianglecounting_spark.streaming.edges import (
+        append_to_edge_table_stateful,
+        normalize_stream,
+        stream_raw_edges,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    src, tbl, ckpt = (os.path.join(base, x) for x in ("src", "table", "ckpt"))
+    g.lineitem_raw_edges(spark, sf_dir).select(
+        "src", "dst", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts")
+    ).write.mode("overwrite").parquet(src)
+    writer = append_to_edge_table_stateful(
+        normalize_stream(stream_raw_edges(spark, src)), tbl, ckpt
+    )
+    query = writer.trigger(availableNow=True).start()
+    query.awaitTermination(300)
+    return spark.read.parquet(tbl).select("u", "v")
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -102,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.concat_ws(",", F.col("nbrs").cast("array<string>")).cast("binary")).alias("nbrs_fp"),
         )
     )
+    # the degree-descending renumbering permutation itself (O4/O6,
+    # `pre_processing.h:200-253`) — scalable_dense_rank end to end
+    q["rank_by_degree"] = lambda s, d: N.rank_by_degree(N.degrees(_edges(s, d)))
 
     # --- triangle counting: both physical plans (J1..J7) ---
     q["triangle_count"] = lambda s, d: T.triangle_count_sql(_edges(s, d))
@@ -126,6 +162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank"] = lambda s, d: pagerank(_edges(s, d), iterations=10).select(
         "v", F.round("score", 6).alias("score")
     )
+    # convergence mode (the north_star "at convergence" contract): stop at the
+    # first iteration whose L1 delta < tol, capped at 15
+    q["pagerank_tol"] = lambda s, d: pagerank(
+        _edges(s, d), iterations=15, tol=1e-4
+    ).select("v", F.round("score", 6).alias("score"))
     q["label_propagation"] = lambda s, d: label_propagation(_edges(s, d), rounds=4)
     q["ktruss"] = lambda s, d: ktruss_rounds(_edges(s, d), k=4, rounds=3)
     q["kcore"] = lambda s, d: kcore_rounds(_edges(s, d), k=4, rounds=3)
@@ -184,6 +225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), dim=64, threshold=0.2, n_planes=6, seed=42, tables=2,
         portable=True,
     )
+
+    # --- streaming ingestion (driver-checkable: the micro-batch pipeline is
+    # batch-expressible — readStream over a static directory with
+    # availableNow drains every file, and exact whole-history dedup has a
+    # deterministic final row set regardless of micro-batching) ---
+    q["streaming_dedup"] = _streaming_dedup
 
     # --- events (windowed aggregation) ---
     # hour emitted as a string so the value-hash is engine-portable
@@ -314,6 +361,14 @@ def oracle_sql() -> dict[str, str]:
     o["winnow_fp"] = TS.winnow_sql(k=8, w=4)
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)
     o["pagerank"] = pagerank_unrolled_sql(_E, iterations=10)
+    o["pagerank_tol"] = pagerank_tol_unrolled_sql(_E, iterations=15, tol=1e-4)
+    o["rank_by_degree"] = (
+        f"WITH e AS MATERIALIZED ({_E}), "
+        "deg AS (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x) "
+        "SELECT v, CAST(row_number() OVER (ORDER BY deg DESC, v ASC) - 1 "
+        "AS BIGINT) AS new_id FROM deg"
+    )
     o["label_propagation"] = label_propagation_unrolled_sql(_E, rounds=4)
     o["ktruss"] = ktruss_unrolled_sql(_E, k=4, rounds=3)
 
@@ -362,6 +417,15 @@ def oracle_sql() -> dict[str, str]:
     o["ann_lsh_topk"] = SIM.ann_lsh_topk_sql(dim=64, k=5, n_planes=6, seed=42, tables=2)
     o["embedding_near_dup"] = SIM.embedding_near_duplicates_sql(
         dim=64, threshold=0.2, n_planes=6, seed=42, tables=2
+    )
+
+    # exact whole-history dedup of the canonicalized stream = the distinct
+    # simple-edge set, batch-expressible because the final row set is
+    # micro-batching-invariant
+    o["streaming_dedup"] = (
+        f"WITH raw AS ({g.LINEITEM_RAW_EDGES_SQL}) "
+        "SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        "FROM raw WHERE src <> dst"
     )
 
     o["events_hourly"] = (

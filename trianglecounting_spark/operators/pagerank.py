@@ -139,3 +139,49 @@ def pagerank_unrolled_sql(edges_sql: str, iterations: int = 10, damping: float =
         ", ".join(parts)
         + f" SELECT v, round(score, {ndigits}) AS score FROM r{iterations} ORDER BY v"
     )
+
+
+def pagerank_tol_unrolled_sql(edges_sql: str, iterations: int = 15,
+                              tol: float = 1e-4, damping: float = 0.85,
+                              ndigits: int = 6) -> str:
+    """DuckDB oracle for CONVERGENCE-mode ``pagerank(tol=...)``: unroll the
+    cap's worth of iterations, compute each step's L1 delta
+    Σ|rank_k − rank_{k−1}|, and select the ranks of the FIRST iteration whose
+    delta drops below ``tol`` (the cap if none does) — the same
+    stop-at-min-k semantics as the driver loop's break. Deltas decay
+    geometrically, so any tol not adjacent to an actual delta value makes the
+    cross-engine comparison robust to last-ulp float differences."""
+    d = damping
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e)",
+        "odeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM odeg)",
+        "r0 AS MATERIALIZED (SELECT src AS v, 1.0/(SELECT n FROM nn) AS score FROM odeg)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT s.dst AS v, "
+            f"(1.0 - {d})/(SELECT n FROM nn) + {d} * sum(r.score / o.deg) AS score "
+            f"FROM sym s JOIN odeg o ON o.src = s.src "
+            f"JOIN r{k-1} r ON r.v = s.src GROUP BY s.dst)"
+        )
+        parts.append(
+            f"dl{k} AS MATERIALIZED (SELECT sum(abs(a.score - b.score)) AS d "
+            f"FROM r{k} a JOIN r{k-1} b ON b.v = a.v)"
+        )
+    deltas = " UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT d FROM dl{k}) AS d"
+        for k in range(1, iterations + 1)
+    )
+    parts.append(f"ds AS MATERIALIZED ({deltas})")
+    parts.append(
+        f"stopk AS MATERIALIZED (SELECT coalesce(min(k), {iterations}) AS k "
+        f"FROM ds WHERE d < {tol!r})"
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT v, round(score, {ndigits}) AS score FROM r{k} "
+        f"WHERE (SELECT k FROM stopk) = {k}"
+        for k in range(1, iterations + 1)
+    )
+    return ", ".join(parts) + f" SELECT v, score FROM ({finals}) ORDER BY v"
