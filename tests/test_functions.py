@@ -247,3 +247,81 @@ def test_ann_cap_inactive_below_threshold(spark):
     uncapped = sorted(map(tuple, sim.ann_lsh_topk(
         e, dim=8, k=2, n_planes=2, bucket_cap=10**9).collect()))
     assert capped == uncapped
+
+
+def test_bmp_decode_roundtrip_and_real_image_features(spark):
+    """decoder="real" is REAL for uncompressed BMP: a 24-bit r=g=b fixture
+    round-trips bit-exactly (integer luma of r=g=b is the pixel itself), and
+    the Spark feature kernel runs the same path."""
+    import numpy as np
+
+    blob = mm.encode_bmp_gray(13, 7, seed=3)  # odd width exercises row padding
+    w, h, px = mm.decode_bmp(blob)
+    assert (w, h) == (13, 7)
+    rng = np.random.default_rng(3)
+    expected = rng.integers(0, 256, size=(7, 13), dtype=np.uint8)
+    assert (px.reshape(7, 13) == expected).all()
+
+    media = spark.createDataFrame(
+        [(i, mm.encode_bmp_gray(13, 7, seed=i)) for i in range(3)],
+        "media_id long, blob binary",
+    )
+    feats = {r.media_id: r for r in mm.image_features(media, decoder="real").collect()}
+    assert len(feats) == 3
+    assert feats[0].width == 13 and feats[0].height == 7
+    expected0 = np.random.default_rng(0).integers(0, 256, size=(7, 13), dtype=np.uint8)
+    assert abs(feats[0].mean_px - round(float(expected0.mean()), 6)) < 1e-9
+
+
+def test_bmp_8bit_palette_decode():
+    """8-bit palette BMPs decode through the palette's integer luma."""
+    import struct
+
+    import numpy as np
+
+    w, h = 5, 2
+    idx = np.array([[0, 1, 2, 1, 0], [2, 2, 1, 0, 0]], dtype=np.uint8)
+    pal = b""  # BGRA entries: gray 10, 20, 30
+    for v in (10, 20, 30):
+        pal += bytes([v, v, v, 0])
+    pal += bytes(4 * 253)  # pad palette to 256 entries
+    row_bytes = (w + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w] = idx
+    body = rows[::-1].tobytes()
+    data_off = 14 + 40 + 256 * 4
+    blob = (
+        b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, 256, 0)
+        + pal + body
+    )
+    dw, dh, px = mm.decode_bmp(blob)
+    assert (dw, dh) == (w, h)
+    assert (px.reshape(h, w) == idx * 10 + 10).all()
+
+
+def test_wav_decode_and_real_audio_features(spark):
+    """decoder="real" is REAL for 16-bit PCM WAV (mono and stereo: channel 0),
+    and compressed blobs still raise toward the library boundary."""
+    import numpy as np
+    import pytest
+
+    blob = mm.encode_wav_pcm16(8000, 64, seed=5)
+    sr, samples = mm.decode_wav(blob)
+    assert sr == 8000 and len(samples) == 64
+    stereo = mm.encode_wav_pcm16(16000, 32, seed=6, channels=2)
+    sr2, s2 = mm.decode_wav(stereo)
+    assert sr2 == 16000 and len(s2) == 32
+
+    media = spark.createDataFrame(
+        [(0, blob)], "media_id long, blob binary"
+    )
+    row = mm.audio_features(media, decoder="real").collect()[0]
+    assert row.sample_rate == 8000 and row.n_samples == 64
+    exp = np.frombuffer(blob[44:], dtype="<i2").astype(np.float64)
+    assert abs(row.rms - round(float(np.sqrt((exp ** 2).mean())), 6)) < 1e-9
+
+    with pytest.raises(Exception, match="PIL|opencv"):
+        mm._decode_image(b"\x89PNG\r\n\x1a\n....", "real")
+    with pytest.raises(Exception, match="ffmpeg"):
+        mm._decode_audio(b"ID3\x04....", "real")
