@@ -57,6 +57,24 @@ def main() -> None:
         queries[name] = round(time.time() - t0, 3)
         return out
 
+    # First-job warmup isolated into its OWN line (r2 showed build_edges
+    # 3.4s→8.8s once caches were released between queries; the delta was
+    # JVM/codegen + Python-worker spawn riding on the first measured query):
+    # a tiny shuffle + a tiny Arrow kernel + one parquet footer read touch
+    # every engine path the suite uses, so build_edges measures the build.
+    def _warmup():
+        spark.range(100_000).repartition(8).groupBy(
+            (F.col("id") % 10).alias("k")
+        ).count().collect()
+
+        def _ident(bs):
+            yield from bs
+
+        spark.range(1_000).mapInArrow(_ident, "id long").count()
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timed("session_warmup", _warmup)
+
     # edge table build (scan + normalize + co-occurrence join) — measured once
     edges = timed("build_edges", lambda: g.copart_graph(spark, sf_dir).localCheckpoint(eager=True))
     protected.update(persistent_rdd_ids(spark))
