@@ -29,8 +29,16 @@ from trianglecounting_spark.operators.labelprop import (
     label_propagation,
     label_propagation_unrolled_sql,
 )
-from trianglecounting_spark.operators.ktruss import ktruss_rounds, ktruss_unrolled_sql
-from trianglecounting_spark.operators.kcore import kcore_rounds, kcore_unrolled_sql
+from trianglecounting_spark.operators.ktruss import (
+    ktruss,
+    ktruss_rounds,
+    ktruss_unrolled_sql,
+)
+from trianglecounting_spark.operators.kcore import (
+    kcore,
+    kcore_rounds,
+    kcore_unrolled_sql,
+)
 from trianglecounting_spark.functions import textstats as TS
 from trianglecounting_spark.functions import dedup as DD
 from trianglecounting_spark.functions import similarity as SIM
@@ -75,6 +83,21 @@ def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def _sampled_edges(spark: SparkSession, sf_dir: str, p_inv: int = 8,
+                   seed: int = 42) -> DataFrame:
+    """Deterministic hash-sampled subgraph (the DOULION predicate, exact
+    int64 arithmetic in both engines): avg degree ~6 instead of ~100, so
+    peeling fixpoints actually iterate instead of converging in one round."""
+    e = _edges(spark, sf_dir)
+    h = F.pmod(
+        F.pmod(F.col("u"), F.lit(T._SAMPLE_M)) * F.lit(T._SAMPLE_A)
+        + F.pmod(F.col("v"), F.lit(T._SAMPLE_M)) * F.lit(T._SAMPLE_B)
+        + F.lit(seed),
+        F.lit(T._SAMPLE_M),
+    )
+    return e.where(F.pmod(h, F.lit(p_inv)) == 0)
 
 
 def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,6 +193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["label_propagation"] = lambda s, d: label_propagation(_edges(s, d), rounds=4)
     q["ktruss"] = lambda s, d: ktruss_rounds(_edges(s, d), k=4, rounds=3)
     q["kcore"] = lambda s, d: kcore_rounds(_edges(s, d), k=4, rounds=3)
+    # fixpoint ("decomposition at convergence") forms: peeling is idempotent
+    # once converged, so the oracle is the unrolled form at ≥ the measured
+    # convergence depth (ktruss k=6: 5 rounds at sf0.01; sampled kcore k=8:
+    # 5 rounds at sf0.001) — extra oracle rounds are no-ops
+    q["ktruss_fixpoint"] = lambda s, d: ktruss(_edges(s, d), k=6, max_iterations=30)
+    q["kcore_fixpoint"] = lambda s, d: kcore(_sampled_edges(s, d), k=8, max_iterations=30)
     # explicitly-approximate estimator (deterministic hash sample → exact
     # kernel count on the sample → unbiased scale-up); exact ops stay the
     # north-rule contract
@@ -254,6 +283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _E = g.COPART_EDGES_SQL
+
+# the deterministic hash-sampled subgraph (twin of `_sampled_edges`, p_inv=8)
+_SAMPLED_E = (
+    f"WITH base AS MATERIALIZED ({g.COPART_EDGES_SQL}) "
+    f"SELECT u, v FROM base WHERE "
+    f"(((u % {T._SAMPLE_M}) * {T._SAMPLE_A} "
+    f"+ (v % {T._SAMPLE_M}) * {T._SAMPLE_B} + 42) % {T._SAMPLE_M}) % 8 = 0"
+)
 _DODG = (
     f"WITH e AS MATERIALIZED ({_E}), "
     "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
@@ -357,6 +394,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["kcore"] = kcore_unrolled_sql(_E, k=4, rounds=3)
+    o["ktruss_fixpoint"] = ktruss_unrolled_sql(_E, k=6, rounds=7)
+    o["kcore_fixpoint"] = kcore_unrolled_sql(_SAMPLED_E, k=8, rounds=8)
     o["triangle_count_approx"] = T.triangle_count_approx_sql(_E, p_inv=4, seed=42)
     o["winnow_fp"] = TS.winnow_sql(k=8, w=4)
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)
