@@ -205,6 +205,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["triangle_count_approx"] = lambda s, d: T.triangle_count_approx(
         _edges(s, d), p_inv=4, seed=42
     )
+    # exact incremental maintenance: the hash-sampled eighth of the edges is
+    # the "micro-batch", the rest the accumulated graph — Δ computed with
+    # three batch-sized joins, never a recount of G (oracle recounts both)
+    q["triangle_count_delta"] = lambda s, d: T.triangle_count_delta(
+        _edges(s, d).join(_sampled_edges(s, d), ["u", "v"], "left_anti"),
+        _sampled_edges(s, d),
+    )
 
     # --- page front door (input_hint pipeline) ---
     q["pages_extract_links"] = lambda s, d: PG.extract_links(_doc_pages(s, d))
@@ -396,6 +403,30 @@ def oracle_sql() -> dict[str, str]:
     o["kcore"] = kcore_unrolled_sql(_E, k=4, rounds=3)
     o["ktruss_fixpoint"] = ktruss_unrolled_sql(_E, k=6, rounds=7)
     o["kcore_fixpoint"] = kcore_unrolled_sql(_SAMPLED_E, k=8, rounds=8)
+
+    # incremental-delta oracle: the definitionally-correct recount on both
+    # graphs — Δ = tri(G ∪ B) − tri(G); U = base (B ∪ G partition the edges)
+    def _tri_scalar(rel: str) -> str:
+        return (
+            f"(WITH deg2 AS (SELECT x AS v, count(*) AS deg FROM "
+            f"(SELECT u AS x FROM {rel} UNION ALL SELECT v AS x FROM {rel}) GROUP BY x), "
+            f"dd AS (SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v) "
+            f"THEN e.u ELSE e.v END AS src, "
+            f"CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v) "
+            f"THEN e.v ELSE e.u END AS dst "
+            f"FROM {rel} e JOIN deg2 du ON du.v = e.u JOIN deg2 dv ON dv.v = e.v) "
+            f"SELECT count(*) FROM dd e1 JOIN dd e2 ON e2.src = e1.dst "
+            f"JOIN dd e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
+        )
+
+    o["triangle_count_delta"] = (
+        f"WITH base AS MATERIALIZED ({_E}), "
+        f"olde AS MATERIALIZED (SELECT u, v FROM base WHERE "
+        f"(((u % {T._SAMPLE_M}) * {T._SAMPLE_A} "
+        f"+ (v % {T._SAMPLE_M}) * {T._SAMPLE_B} + 42) % {T._SAMPLE_M}) % 8 <> 0) "
+        f"SELECT CAST({_tri_scalar('base')} - {_tri_scalar('olde')} AS BIGINT) "
+        f"AS new_triangles"
+    )
     o["triangle_count_approx"] = T.triangle_count_approx_sql(_E, p_inv=4, seed=42)
     o["winnow_fp"] = TS.winnow_sql(k=8, w=4)
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)

@@ -138,3 +138,26 @@ def test_hub_csr_budget_fallback(spark, monkeypatch):
     hubs, flat = T._select_hub_csr(d, adj, hub_k=65536)
     assert hubs is None and flat is None  # the guard tripped
     assert T.triangle_count_kernel(e).collect()[0].triangles == expected
+
+
+def test_triangle_count_delta_matches_recount(spark):
+    """Incremental maintenance is exact: Δ(G, B) == tri(G ∪ B) − tri(G) on a
+    random split, covers triangles with 1, 2, and 3 new edges, ignores
+    re-delivered edges, and is empty-batch safe."""
+    from trianglecounting_spark.operators.triangles import triangle_count_delta
+
+    e = normalize_edges(g.rmat_graph(spark, scale=8, edge_factor=10))
+    batch = e.where((F.col("u") + F.col("v")) % 3 == 0)
+    existing = e.subtract(batch)
+    t_union = triangle_count_kernel(e).collect()[0].triangles
+    t_old = triangle_count_kernel(existing).collect()[0].triangles
+    delta = triangle_count_delta(existing, batch).collect()[0].new_triangles
+    assert delta == t_union - t_old
+    assert delta > 0  # the split actually creates mixed-edge triangles
+    # re-delivering already-ingested edges adds nothing
+    assert triangle_count_delta(e, batch).collect()[0].new_triangles == 0
+    # a batch that is a pure triangle over fresh vertices: T3 path
+    tri_b = spark.createDataFrame(
+        [(100001, 100002), (100001, 100003), (100002, 100003)], "u long, v long"
+    )
+    assert triangle_count_delta(e, tri_b).collect()[0].new_triangles == 1

@@ -625,7 +625,11 @@ def triangle_count_kernel(
             F.sum("probes").alias("probes"),
             F.sum("tri_cnt").alias("hits"),
         )
-    return partials.agg(F.sum("tri_cnt").cast("long").alias("triangles"))
+    # coalesce: an empty graph (zero partitions after AQE) must count 0,
+    # not NULL — the incremental-delta path feeds empty batches here
+    return partials.agg(
+        F.coalesce(F.sum("tri_cnt"), F.lit(0)).cast("long").alias("triangles")
+    )
 
 
 def triangle_count_per_directed_edge_kernel(
@@ -700,7 +704,11 @@ def triangle_count_kernel_bucketed(
             F.sum("probes").alias("probes"),
             F.sum("tri_cnt").alias("hits"),
         )
-    return partials.agg(F.sum("tri_cnt").cast("long").alias("triangles"))
+    # coalesce: an empty graph (zero partitions after AQE) must count 0,
+    # not NULL — the incremental-delta path feeds empty batches here
+    return partials.agg(
+        F.coalesce(F.sum("tri_cnt"), F.lit(0)).cast("long").alias("triangles")
+    )
 
 
 def triangle_per_edge_support_bucketed(
@@ -734,6 +742,81 @@ def triangle_per_edge_support_bucketed(
     )
     return edges.join(support, ["u", "v"], "left").select(
         "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact incremental maintenance: triangles added by a batch of new edges.
+# The streaming lane's analytic operator — a foreachBatch sink calls this per
+# micro-batch to keep a running EXACT global count without ever recounting
+# the accumulated graph.
+# ---------------------------------------------------------------------------
+
+def triangle_count_delta(existing: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Exact number of NEW triangles created by adding ``new_edges`` (B) to
+    ``existing`` (G): Δ = tri(G ∪ B) − tri(G), computed incrementally.
+
+    Inclusion–exclusion over which of a triangle's edges are new (both
+    inputs canonical ``(u, v)`` with u < v; B is deduplicated against G
+    internally, so re-delivered edges contribute nothing — the semantics a
+    micro-batch sink needs):
+
+      S1 = Σ_{b=(u,v) ∈ B} |N_U(u) ∩ N_U(v)|     (counts T1 + 2·T2 + 3·T3)
+      S2 = #{B-edge pairs sharing a vertex, closed by a U edge}  (T2 + 3·T3)
+      S3 = tri(B)                                                (T3)
+      Δ  = S1 − S2 + S3 = T1 + T2 + T3   (Tj = new triangles with j B edges)
+
+    Scale shape (the reason this exists): every term joins the SMALL batch
+    against the big graph — S1 is two vertex-keyed joins of B against the
+    symmetric closure of U (B broadcastable, G never re-enumerated), S2 is a
+    B self-join probed against U membership, S3 runs the kernel on B alone.
+    Per-batch cost is O(|B| · avg-degree), not O(|U|): the incremental
+    contract a 10^12-edge crawl needs.
+
+    Output: one row ``(new_triangles: long)`` — integer-exact,
+    partitioning-invariant.
+    """
+    g = existing.select("u", "v").localCheckpoint(eager=False)
+    b = (
+        new_edges.select("u", "v")
+        .dropDuplicates(["u", "v"])
+        .join(g, ["u", "v"], "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    u_all = g.unionAll(b).localCheckpoint(eager=False)
+    sym_u = undirect(u_all)
+
+    # S1: common U-neighbors of each new edge's endpoints
+    w1 = sym_u.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    w2 = sym_u.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    s1 = (
+        b.join(w1, "u").join(w2, ["v", "w"])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    # S2: two new edges sharing vertex x, closed by any U edge (a < b by id
+    # so each unordered B-edge pair counts once)
+    sym_b = undirect(b)
+    pair = (
+        sym_b.select(F.col("src").alias("x"), F.col("dst").alias("a"))
+        .join(sym_b.select(F.col("src").alias("x"), F.col("dst").alias("b")), "x")
+        .where(F.col("a") < F.col("b"))
+    )
+    closing = u_all.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    s2 = pair.join(closing, ["a", "b"]).agg(F.count(F.lit(1)).alias("n"))
+
+    # S3: triangles entirely inside the batch
+    s3 = triangle_count_kernel(b)
+
+    return (
+        s1.select(F.col("n").alias("s1"))
+        .crossJoin(s2.select(F.col("n").alias("s2")))
+        .crossJoin(s3.select(F.col("triangles").alias("s3")))
+        .select(
+            (F.col("s1") - F.col("s2") + F.col("s3"))
+            .cast("long")
+            .alias("new_triangles")
+        )
     )
 
 
