@@ -129,6 +129,40 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(tbl).select("u", "v")
 
 
+def _streaming_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two micro-batch drains through ``maintain_triangle_count``: the raw
+    edges are hash-split into two deterministic halves delivered as separate
+    availableNow drains, so the second batch's delta is computed against a
+    non-empty accumulated graph (the incremental path, not a cold count).
+    Returns the maintained sidecar count as one row ``(triangles: long)``."""
+    import os
+    import tempfile
+
+    from trianglecounting_spark.streaming.edges import (
+        maintain_triangle_count,
+        normalize_stream,
+        read_maintained_triangle_count,
+        stream_raw_edges,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_tri_")
+    src, tbl, ckpt = (os.path.join(base, x) for x in ("src", "table", "ckpt"))
+    raw = g.lineitem_raw_edges(spark, sf_dir).select(
+        "src", "dst", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    for part in (0, 1):
+        raw.where(F.pmod(F.col("src") + F.col("dst"), F.lit(2)) == part).write.mode(
+            "append"
+        ).parquet(src)
+        query = maintain_triangle_count(
+            normalize_stream(stream_raw_edges(spark, src)), tbl, ckpt
+        ).trigger(availableNow=True).start()
+        query.awaitTermination(300)
+    return spark.createDataFrame(
+        [(read_maintained_triangle_count(tbl),)], "triangles long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -267,6 +301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # availableNow drains every file, and exact whole-history dedup has a
     # deterministic final row set regardless of micro-batching) ---
     q["streaming_dedup"] = _streaming_dedup
+    # streaming + incremental maintenance end-to-end: two availableNow drains
+    # (hash-split halves of the raw edges), the sidecar count updated per
+    # micro-batch via triangle_count_delta — the oracle recounts from scratch
+    q["streaming_triangles"] = _streaming_triangles
 
     # --- events (windowed aggregation) ---
     # hour emitted as a string so the value-hash is engine-portable
@@ -496,6 +534,14 @@ def oracle_sql() -> dict[str, str]:
         f"WITH raw AS ({g.LINEITEM_RAW_EDGES_SQL}) "
         "SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
         "FROM raw WHERE src <> dst"
+    )
+    # the maintained running count must equal a from-scratch exact count of
+    # the final deduplicated edge set (batching-invariant by construction)
+    o["streaming_triangles"] = (
+        f"WITH raw AS ({g.LINEITEM_RAW_EDGES_SQL}), "
+        "se AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM raw WHERE src <> dst) "
+        f"SELECT CAST({_tri_scalar('se')} AS BIGINT) AS triangles"
     )
 
     o["events_hourly"] = (

@@ -225,3 +225,41 @@ def test_streaming_stateful_dedup_survives_restart(spark, tmp_path):
 
     rows = sorted((r.u, r.v) for r in spark.read.parquet(tbl).collect())
     assert rows == [(1, 2), (3, 4), (7, 8)]  # (2,1) deduped ACROSS the restart
+
+
+def test_streaming_maintained_triangle_count(spark, tmp_path):
+    """The incremental foreachBatch sink keeps the sidecar count equal to an
+    exact kernel recount of the accumulated table across multiple drains
+    (each drain = a new micro-batch against the grown graph)."""
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.operators.triangles import triangle_count_kernel
+    from trianglecounting_spark.sources import generators as g
+    from trianglecounting_spark.streaming.edges import (
+        maintain_triangle_count,
+        normalize_stream,
+        read_maintained_triangle_count,
+        stream_raw_edges,
+    )
+
+    e = normalize_edges(g.rmat_graph(spark, scale=7, edge_factor=8)).collect()
+    half = len(e) // 2
+    src_dir, tbl, ckpt = (str(tmp_path / x) for x in ("src", "tbl", "ckpt"))
+
+    def drain(rows, fname):
+        spark.createDataFrame(
+            [(r.u, r.v, "2024-01-01 00:00:00") for r in rows],
+            "src long, dst long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "append"
+        ).parquet(src_dir)
+        q = maintain_triangle_count(
+            normalize_stream(stream_raw_edges(spark, src_dir)), tbl, ckpt
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    drain(e[:half], "b0")
+    drain(e[half:], "b1")
+    table = spark.read.parquet(tbl)
+    expected = triangle_count_kernel(table.select("u", "v")).collect()[0].triangles
+    assert read_maintained_triangle_count(tbl) == expected
+    assert table.count() == len(e)
