@@ -18,8 +18,14 @@ from trianglecounting_spark.operators import normalize as N
 from trianglecounting_spark.operators import triangles as T
 from trianglecounting_spark.operators.pagerank import (
     pagerank,
+    pagerank_directed,
+    pagerank_directed_unrolled_sql,
     pagerank_tol_unrolled_sql,
     pagerank_unrolled_sql,
+)
+from trianglecounting_spark.operators.linkpred import (
+    common_neighbor_pairs,
+    common_neighbor_pairs_sql,
 )
 from trianglecounting_spark.operators.components import (
     connected_components,
@@ -224,6 +230,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_tol"] = lambda s, d: pagerank(
         _edges(s, d), iterations=15, tol=1e-4
     ).select("v", F.round("score", 6).alias("score"))
+    # DIRECTED PageRank with dangling-mass redistribution over the page
+    # hyperlink graph (link targets that were never crawled have no
+    # out-edges — the real web-graph case)
+    q["pagerank_directed"] = lambda s, d: pagerank_directed(
+        PG.pages_to_edges(_doc_pages(s, d)), iterations=10
+    ).select("v", F.round("score", 6).alias("score"))
+    # link prediction: DODG-bounded candidate wedges + exact common-neighbor
+    # re-score (never the hub-quadratic symmetric wedge join)
+    q["link_prediction_cn"] = lambda s, d: common_neighbor_pairs(
+        _sampled_edges(s, d), min_common=2
+    )
     q["label_propagation"] = lambda s, d: label_propagation(_edges(s, d), rounds=4)
     q["ktruss"] = lambda s, d: ktruss_rounds(_edges(s, d), k=4, rounds=3)
     q["kcore"] = lambda s, d: kcore_rounds(_edges(s, d), k=4, rounds=3)
@@ -470,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)
     o["pagerank"] = pagerank_unrolled_sql(_E, iterations=10)
     o["pagerank_tol"] = pagerank_tol_unrolled_sql(_E, iterations=15, tol=1e-4)
+    o["link_prediction_cn"] = common_neighbor_pairs_sql(_SAMPLED_E, min_common=2)
     o["rank_by_degree"] = (
         f"WITH e AS MATERIALIZED ({_E}), "
         "deg AS (SELECT x AS v, count(*) AS deg FROM "
@@ -497,6 +515,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ds.page_id AS src, dd.page_id AS dst FROM links l "
         "JOIN dict ds ON ds.url = l.src_url JOIN dict dd ON dd.url = l.dst_url"
     )
+    # directed PR runs over the page-graph edge list (the pages_to_edges
+    # oracle query IS the directed edge relation)
+    o["pagerank_directed"] = pagerank_directed_unrolled_sql(
+        o["pages_to_edges"], iterations=10
+    )
+
     # script/style content is REMOVED by extraction; anchors contribute "a b"
     o["pages_extract_text_fp"] = (
         f"WITH p AS ({_DOC_PAGES_URLS}) "

@@ -138,3 +138,74 @@ def test_pagerank_convergence_mode(spark):
     fixed = {r.v: r.score for r in pagerank(e, iterations=60).collect()}
     assert abs(sum(conv.values()) - 1.0) < 1e-9
     assert all(abs(conv[v] - fixed[v]) < 1e-6 for v in fixed)
+
+
+def test_pagerank_directed_dangling_mass(spark):
+    """Directed PR with dangling redistribution: closed-form one-step check on
+    a -> b (b dangling), and mass conservation (sum == 1) on a random DAG."""
+    from trianglecounting_spark.operators.pagerank import pagerank_directed
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.v: r.score for r in pagerank_directed(e, iterations=1).collect()}
+    # r0 = (.5, .5); D = .5; r1(a) = .15/2 + .85*(0 + .25); r1(b) adds a's .5
+    assert abs(got[1] - (0.075 + 0.85 * 0.25)) < 1e-12
+    assert abs(got[2] - (0.075 + 0.85 * (0.5 + 0.25))) < 1e-12
+
+    import random
+
+    random.seed(11)
+    rows = list({(random.randrange(40), random.randrange(40)) for _ in range(120)})
+    rows = [(a, b) for a, b in rows if a != b]
+    dag = spark.createDataFrame(rows, "src long, dst long")
+    scores = pagerank_directed(dag, iterations=8).agg(F.sum("score")).collect()[0][0]
+    assert abs(scores - 1.0) < 1e-9
+
+
+def test_common_neighbor_pairs_closed_form(spark):
+    """C4 cycle a-b-c-d-a (ids 1..4, all degree 2, rank = id): the only
+    admissible wedge center is vertex 1, generating candidate (2, 4) with an
+    exact full common-neighbor count of 2; pair (1, 3) has no common neighbor
+    ranked below both endpoints and is skipped by the stated contract."""
+    from trianglecounting_spark.operators.linkpred import common_neighbor_pairs
+
+    c4 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long"
+    )
+    got = {(r.a, r.b): r.common for r in common_neighbor_pairs(c4, min_common=1).collect()}
+    assert got == {(2, 4): 2}
+
+
+def test_common_neighbor_pairs_contract_on_random_graph(spark):
+    """Generated set == pairs whose minimum-rank common neighbor ranks below
+    both endpoints; every reported count == the exact |N(a) ∩ N(b)|."""
+    from trianglecounting_spark.operators.linkpred import common_neighbor_pairs
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.sources import generators as g
+
+    e = normalize_edges(g.rmat_graph(spark, scale=7, edge_factor=4))
+    rows = [(r.u, r.v) for r in e.collect()]
+    nbrs: dict[int, set[int]] = {}
+    deg: dict[int, int] = {}
+    for u, v in rows:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for x, s in nbrs.items():
+        deg[x] = len(s)
+    rank = lambda x: (deg[x], x)
+    edge_set = set(rows)
+    expected = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a >= b or (a, b) in edge_set:
+                continue
+            common = nbrs[a] & nbrs[b]
+            if common and any(
+                rank(w) < rank(a) and rank(w) < rank(b) for w in common
+            ):
+                if len(common) >= 2:
+                    expected[(a, b)] = len(common)
+    got = {
+        (r.a, r.b): r.common
+        for r in common_neighbor_pairs(e, min_common=2).collect()
+    }
+    assert got == expected

@@ -141,6 +141,117 @@ def pagerank_unrolled_sql(edges_sql: str, iterations: int = 10, damping: float =
     )
 
 
+def pagerank_directed(
+    directed_edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a DIRECTED graph with dangling-mass redistribution —
+    the real web-graph semantics for the page front door (hyperlinks point
+    one way; link targets that are never crawled have no out-edges).
+
+    rank_{k+1}(v) = (1−d)/N + d·( Σ_{u→v} rank_k(u)/outdeg(u) + D_k/N )
+    where D_k = Σ_{outdeg(u)=0} rank_k(u) (the dangling mass, spread
+    uniformly — the standard teleport treatment, keeps Σ rank = 1).
+
+    Input: ``(src, dst)`` directed edges (duplicates allowed ⇒ weighted by
+    multiplicity, like repeated hyperlinks). Output ``(v, score)`` over every
+    vertex appearing as source or target.
+
+    Scale notes: the edge side is pre-partitioned by src once and cached
+    (iterations shuffle only the |V|-row rank table, as in ``pagerank``);
+    the dangling term is one |V|-row aggregate per iteration — a scalar
+    collect, the textbook implementation on any cluster.
+    """
+    spark = directed_edges.sparkSession
+    e = directed_edges.select("src", "dst")
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = verts.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_part = iteration_partitions(spark, e.count())
+    ed = (
+        e.join(out_deg, "src")
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ed.count()  # materialize the cache before the loop
+    dangling_verts = verts.join(
+        out_deg.select(F.col("src").alias("v")), "v", "left_anti"
+    ).localCheckpoint(eager=False)
+    ranks = verts.select("v", (F.lit(1.0) / n).alias("score"))
+    prev_ids: set[int] = set()
+    with scoped_shuffle_partitions(spark, n_part):
+        for k in range(1, iterations + 1):
+            d_mass = (
+                ranks.join(dangling_verts, "v")
+                .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("m"))
+                .collect()[0]["m"]
+            )
+            contribs = (
+                ed.join(ranks.withColumnRenamed("v", "src"), "src")
+                .select(F.col("dst").alias("v"),
+                        (F.col("score") / F.col("deg")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("mass"))
+            )
+            ranks = verts.join(contribs, "v", "left").select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("mass"), F.lit(0.0)) + F.lit(d_mass / n))
+                ).alias("score"),
+            )
+            if k % 5 == 0 or k == iterations:
+                ranks, new_ids = tracked_checkpoint(ranks)
+                release_ids(spark, prev_ids)
+                prev_ids = new_ids
+    ed.unpersist()
+    return ranks
+
+
+def pagerank_directed_unrolled_sql(edges_sql: str, iterations: int = 10,
+                                   damping: float = 0.85, ndigits: int = 6) -> str:
+    """DuckDB oracle for ``pagerank_directed``: same fixed-iteration directed
+    walk with the per-step dangling-mass scalar, unrolled. ``edges_sql`` must
+    yield directed ``(src, dst)`` rows."""
+    d = damping
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e))",
+        "odeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nn) AS score FROM verts)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"dm{k} AS MATERIALIZED (SELECT coalesce(sum(score), 0) AS m "
+            f"FROM r{k-1} WHERE v NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"sum(r.score / o.deg) AS mass FROM e "
+            f"JOIN odeg o ON o.src = e.src JOIN r{k-1} r ON r.v = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT vv.v, "
+            f"(1.0 - {d})/(SELECT n FROM nn) + {d} * "
+            f"(coalesce(c.mass, 0) + (SELECT m FROM dm{k})/(SELECT n FROM nn)) "
+            f"AS score FROM verts vv LEFT JOIN c{k} c ON c.v = vv.v)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v, round(score, {ndigits}) AS score FROM r{iterations} ORDER BY v"
+    )
+
+
 def pagerank_tol_unrolled_sql(edges_sql: str, iterations: int = 15,
                               tol: float = 1e-4, damping: float = 0.85,
                               ndigits: int = 6) -> str:
