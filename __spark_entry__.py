@@ -26,6 +26,8 @@ from trianglecounting_spark.operators.pagerank import (
 from trianglecounting_spark.operators.linkpred import (
     common_neighbor_pairs,
     common_neighbor_pairs_sql,
+    link_prediction_scores,
+    link_prediction_scores_sql,
 )
 from trianglecounting_spark.operators.components import (
     connected_components,
@@ -239,6 +241,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # link prediction: DODG-bounded candidate wedges + exact common-neighbor
     # re-score (never the hub-quadratic symmetric wedge join)
     q["link_prediction_cn"] = lambda s, d: common_neighbor_pairs(
+        _sampled_edges(s, d), min_common=2
+    )
+    # the standard scoring family over the same candidates (Jaccard +
+    # Adamic-Adar down-weighting of hub intermediaries)
+    q["link_prediction_scores"] = lambda s, d: link_prediction_scores(
         _sampled_edges(s, d), min_common=2
     )
     q["label_propagation"] = lambda s, d: label_propagation(_edges(s, d), rounds=4)
@@ -488,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
     o["pagerank"] = pagerank_unrolled_sql(_E, iterations=10)
     o["pagerank_tol"] = pagerank_tol_unrolled_sql(_E, iterations=15, tol=1e-4)
     o["link_prediction_cn"] = common_neighbor_pairs_sql(_SAMPLED_E, min_common=2)
+    o["link_prediction_scores"] = link_prediction_scores_sql(_SAMPLED_E, min_common=2)
     o["rank_by_degree"] = (
         f"WITH e AS MATERIALIZED ({_E}), "
         "deg AS (SELECT x AS v, count(*) AS deg FROM "

@@ -69,6 +69,99 @@ def common_neighbor_pairs(edges: DataFrame, min_common: int = 2) -> DataFrame:
     return scored.where(F.col("common") >= min_common)
 
 
+def link_prediction_scores(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """Candidate non-edges with the standard link-prediction score family:
+    raw common-neighbor count, adjacency Jaccard
+    ``common / (deg(a) + deg(b) − common)``, and Adamic–Adar
+    ``Σ_w 1/ln(deg(w))`` (Adamic & Adar 2003 — down-weights mega-hub
+    intermediaries; deg(w) ≥ 2 for any common neighbor, so ln is safe).
+
+    Same two-phase plan as ``common_neighbor_pairs`` (DODG-bounded candidate
+    wedges, exact re-score); the per-neighbor degree joins ride the existing
+    vertex-keyed shuffles. Floats rounded to 6 digits for oracle parity.
+    Output: ``(a, b, common: long, jaccard: double, adamic_adar: double)``.
+    """
+    from trianglecounting_spark.operators.normalize import degrees
+
+    d = orient_dodg(edges).localCheckpoint(eager=False)
+    n1 = d.select(F.col("src").alias("w"), F.col("dst").alias("x"))
+    n2 = d.select(F.col("src").alias("w"), F.col("dst").alias("y"))
+    cands = (
+        n1.join(n2, "w")
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .join(edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+              ["a", "b"], "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    deg = degrees(edges).localCheckpoint(eager=False)
+    sym = undirect(edges)
+    na = sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    nb = sym.select(F.col("src").alias("b"), F.col("dst").alias("w"))
+    deg_w = deg.select(F.col("v").alias("w"), F.col("deg").alias("deg_w"))
+    scored = (
+        cands.join(na, "a")
+        .join(nb, ["b", "w"])
+        .join(deg_w, "w")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("deg_w"))).alias("aa_raw"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    deg_a = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    deg_b = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        scored.join(deg_a, "a")
+        .join(deg_b, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa_raw"), 6).alias("adamic_adar"),
+        )
+    )
+
+
+def link_prediction_scores_sql(edges_sql: str, min_common: int = 2) -> str:
+    """DuckDB twin of ``link_prediction_scores``."""
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        "d AS MATERIALIZED (SELECT CASE WHEN (du.deg < dv.deg) OR "
+        "(du.deg = dv.deg AND e.u < e.v) THEN e.u ELSE e.v END AS src, "
+        "CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.v ELSE e.u END AS dst "
+        "FROM e JOIN deg du ON du.v = e.u JOIN deg dv ON dv.v = e.v), "
+        "cand AS MATERIALIZED (SELECT DISTINCT least(n1.dst, n2.dst) AS a, "
+        "greatest(n1.dst, n2.dst) AS b "
+        "FROM d n1 JOIN d n2 ON n2.src = n1.src AND n1.dst <> n2.dst "
+        "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = least(n1.dst, n2.dst) "
+        "AND e.v = greatest(n1.dst, n2.dst))), "
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e "
+        "UNION ALL SELECT v AS src, u AS dst FROM e), "
+        "sc AS MATERIALIZED (SELECT c.a, c.b, "
+        "CAST(count(*) AS BIGINT) AS common, "
+        "sum(1.0 / ln(dw.deg)) AS aa_raw "
+        "FROM cand c JOIN sym na ON na.src = c.a "
+        "JOIN sym nb ON nb.src = c.b AND nb.dst = na.dst "
+        "JOIN deg dw ON dw.v = na.dst "
+        f"GROUP BY c.a, c.b HAVING count(*) >= {min_common}) "
+        "SELECT s.a, s.b, s.common, "
+        "round(CAST(s.common AS DOUBLE) / (da.deg + db.deg - s.common), 6) AS jaccard, "
+        "round(s.aa_raw, 6) AS adamic_adar "
+        "FROM sc s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b"
+    )
+
+
 def common_neighbor_pairs_sql(edges_sql: str, min_common: int = 2) -> str:
     """DuckDB twin: identical DODG candidate generation + exact re-score."""
     return (
