@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         N.degrees(_edges(s, d)).groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
     )
     q["max_node_id"] = lambda s, d: N.max_node_id(_edges(s, d))
+    # one-row global profile incl. degree assortativity from integer sums
+    # (bit-portable float despite being a correlation)
+    q["graph_stats"] = lambda s, d: N.graph_stats(_edges(s, d))
     q["orient_dodg"] = lambda s, d: N.orient_dodg(_edges(s, d))
     q["adjacency_fp"] = lambda s, d: (
         N.adjacency(N.orient_dodg(_edges(s, d))).select(
@@ -422,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         f"WITH e AS MATERIALIZED ({_E}) "
         "SELECT max(greatest(u, v)) AS max_node_id FROM e"
     )
+    o["graph_stats"] = N.graph_stats_sql(_E)
     o["orient_dodg"] = _DODG + " SELECT src, dst FROM d"
     o["adjacency_fp"] = (
         _DODG + " SELECT src, CAST(count(*) AS BIGINT) AS out_deg, "

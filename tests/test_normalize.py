@@ -134,3 +134,17 @@ def test_vertex_id_permutation_invariance(spark):
         triangle_count_sql(relabeled).collect()[0].triangles
         == triangle_count_sql(e).collect()[0].triangles
     )
+
+
+def test_graph_stats_closed_form(spark):
+    """Star K1,4 (center 0): n=5, m=4, max_deg=4, density=0.4,
+    assortativity=-1 (perfectly disassortative — every edge joins deg 4 to
+    deg 1)."""
+    from trianglecounting_spark.operators.normalize import graph_stats
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "u long, v long")
+    r = graph_stats(star).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.max_deg) == (5, 4, 4)
+    assert r.avg_deg == 1.6
+    assert r.density == 0.4
+    assert r.assortativity == -1.0

@@ -193,6 +193,72 @@ def scalable_dense_rank(
     return out
 
 
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row global profile of the canonical edge table: vertex/edge
+    counts, degree extremes, density, and degree assortativity (Newman 2002,
+    the standard power-law-web-graph report number).
+
+    Assortativity is Pearson correlation of endpoint degrees over edges,
+    computed from INTEGER sums (Σjk, Σ(j+k), Σ(j²+k²) are exact int64), with
+    one double expression at the end — so the value is bit-identical across
+    engines and partitionings despite being a float. Two shuffles total
+    (degree agg + the degree joins share partitioning with orient_dodg's).
+
+    Output: ``(n_vertices, n_edges, max_deg, avg_deg, density,
+    assortativity)`` — floats rounded to 6 digits.
+    """
+    deg = degrees(edges).localCheckpoint(eager=False)
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("ju"))
+    dv = deg.select(F.col("v").alias("v"), F.col("deg").alias("jv"))
+    j = edges.join(du, "u").join(dv, "v")
+    sums = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("ju") * F.col("jv")).alias("s_jk"),
+        F.sum(F.col("ju") + F.col("jv")).alias("s_sum"),
+        F.sum(F.col("ju") * F.col("ju") + F.col("jv") * F.col("jv")).alias("s_sq"),
+    )
+    dstats = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.max("deg").alias("max_deg")
+    )
+    m, jk, jsum, jsq = F.col("m"), F.col("s_jk"), F.col("s_sum"), F.col("s_sq")
+    half_mean = jsum / (m * F.lit(2.0))  # M⁻¹ Σ ½(j+k)
+    num = jk / m - half_mean * half_mean
+    den = jsq / (m * F.lit(2.0)) - half_mean * half_mean
+    n = F.col("n").cast("double")
+    return sums.crossJoin(dstats).select(
+        F.col("n").cast("long").alias("n_vertices"),
+        m.cast("long").alias("n_edges"),
+        F.col("max_deg").cast("long").alias("max_deg"),
+        F.round(m * F.lit(2.0) / n, 6).alias("avg_deg"),
+        F.round(m * F.lit(2.0) / (n * (n - F.lit(1.0))), 6).alias("density"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+def graph_stats_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``graph_stats`` — identical integer sums, identical
+    final double expression."""
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        "s AS MATERIALIZED (SELECT count(*) AS m, "
+        "sum(du.deg * dv.deg) AS s_jk, sum(du.deg + dv.deg) AS s_sum, "
+        "sum(du.deg * du.deg + dv.deg * dv.deg) AS s_sq "
+        "FROM e JOIN deg du ON du.v = e.u JOIN deg dv ON dv.v = e.v), "
+        "ds AS MATERIALIZED (SELECT count(*) AS n, max(deg) AS max_deg FROM deg) "
+        "SELECT CAST(ds.n AS BIGINT) AS n_vertices, CAST(s.m AS BIGINT) AS n_edges, "
+        "CAST(ds.max_deg AS BIGINT) AS max_deg, "
+        "round(s.m * 2.0 / CAST(ds.n AS DOUBLE), 6) AS avg_deg, "
+        "round(s.m * 2.0 / (CAST(ds.n AS DOUBLE) * (ds.n - 1.0)), 6) AS density, "
+        "round((CAST(s.s_jk AS DOUBLE) / s.m - "
+        "(CAST(s.s_sum AS DOUBLE) / (s.m * 2.0)) * (CAST(s.s_sum AS DOUBLE) / (s.m * 2.0))) / "
+        "(CAST(s.s_sq AS DOUBLE) / (s.m * 2.0) - "
+        "(CAST(s.s_sum AS DOUBLE) / (s.m * 2.0)) * (CAST(s.s_sum AS DOUBLE) / (s.m * 2.0))), 6) "
+        "AS assortativity FROM s, ds"
+    )
+
+
 def rank_by_degree(deg: DataFrame, descending: bool = True) -> DataFrame:
     """Dense rank permutation by degree: ``(v, new_id)`` with new_id in [0, |V|).
 
