@@ -23,6 +23,7 @@ from trianglecounting_spark.operators.pagerank import (
     pagerank_tol_unrolled_sql,
     pagerank_unrolled_sql,
 )
+from trianglecounting_spark.operators.bfs import bfs_distances, bfs_unrolled_sql
 from trianglecounting_spark.operators.linkpred import (
     common_neighbor_pairs,
     common_neighbor_pairs_sql,
@@ -243,6 +244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("v", F.round("score", 6).alias("score"))
     # link prediction: DODG-bounded candidate wedges + exact common-neighbor
     # re-score (never the hub-quadratic symmetric wedge join)
+    # frontier-parallel BFS levels from the minimum vertex id over the
+    # sampled subgraph (eccentricity 4-5 there; the dense full graph has
+    # diameter 2 — a trivial two-layer answer)
+    q["bfs_levels"] = lambda s, d: bfs_distances(_sampled_edges(s, d))
     q["link_prediction_cn"] = lambda s, d: common_neighbor_pairs(
         _sampled_edges(s, d), min_common=2
     )
@@ -498,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)
     o["pagerank"] = pagerank_unrolled_sql(_E, iterations=10)
     o["pagerank_tol"] = pagerank_tol_unrolled_sql(_E, iterations=15, tol=1e-4)
+    o["bfs_levels"] = bfs_unrolled_sql(_SAMPLED_E, rounds=8)
     o["link_prediction_cn"] = common_neighbor_pairs_sql(_SAMPLED_E, min_common=2)
     o["link_prediction_scores"] = link_prediction_scores_sql(_SAMPLED_E, min_common=2)
     o["rank_by_degree"] = (

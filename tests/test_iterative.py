@@ -209,3 +209,37 @@ def test_common_neighbor_pairs_contract_on_random_graph(spark):
         for r in common_neighbor_pairs(e, min_common=2).collect()
     }
     assert got == expected
+
+
+def test_bfs_distances_path_and_parity(spark):
+    """Closed form on a path graph, then parity with a python BFS on a random
+    graph (incl. an unreachable component, which must be absent)."""
+    from collections import deque
+
+    from trianglecounting_spark.operators.bfs import bfs_distances
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.sources import generators as g
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(5)], "u long, v long")
+    got = {r.v: r.dist for r in bfs_distances(path).collect()}
+    assert got == {i: i for i in range(6)}
+
+    e = normalize_edges(g.rmat_graph(spark, scale=7, edge_factor=2))
+    iso = spark.createDataFrame([(900001, 900002)], "u long, v long")
+    e = e.unionAll(iso)
+    rows = [(r.u, r.v) for r in e.collect()]
+    adj: dict[int, set[int]] = {}
+    for u, v in rows:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    src = min(adj)
+    expected, dq = {src: 0}, deque([src])
+    while dq:
+        x = dq.popleft()
+        for y in adj[x]:
+            if y not in expected:
+                expected[y] = expected[x] + 1
+                dq.append(y)
+    got = {r.v: r.dist for r in bfs_distances(e).collect()}
+    assert got == expected
+    assert 900001 not in got  # unreachable component absent, not infinite

@@ -1,0 +1,103 @@
+"""Single-source BFS levels (unweighted shortest paths) — frontier-parallel.
+
+The remaining classic link-graph query (reachability / distance layers for
+crawl-depth analysis). Textbook distributed BFS: per round, expand only the
+FRONTIER (vertices first reached last round) through one vertex-keyed join,
+anti-join out already-settled vertices, append. On unit weights the first
+discovery is the shortest distance, so settled entries never change — each
+round's work is O(|frontier| · avg degree), and the total across all rounds
+is one pass over the symmetric edge set, the optimal work bound.
+
+Scale notes: the (big) symmetric edge side is pre-partitioned by src once and
+cached; each round shuffles only frontier-sized tables. Power-law graphs
+reach most vertices in 2–4 rounds (the frontier IS the skew absorber — a
+mega-hub simply lands the bulk of V in one round's frontier, which AQE
+splits). Rounds are materialized + released via tracked checkpoints like the
+other iterative operators.
+
+Output: ``(v: long, dist: long)`` for every vertex REACHABLE from the
+source; unreachable vertices are absent (not ∞ rows — the caller's join
+decides the sentinel). Integer-exact, partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from trianglecounting_spark.operators.normalize import undirect
+from trianglecounting_spark.plans.cache import release_ids, tracked_checkpoint
+from trianglecounting_spark.plans.tuning import (
+    iteration_partitions,
+    scoped_shuffle_partitions,
+)
+
+
+def bfs_distances(
+    edges: DataFrame, source: int | None = None, max_iterations: int = 50
+) -> DataFrame:
+    """BFS levels from ``source`` (default: the minimum vertex id — a
+    deterministic, oracle-expressible choice). Runs until the frontier
+    empties or ``max_iterations``."""
+    spark = edges.sparkSession
+    if source is None:
+        source = int(edges.agg(F.min(F.least("u", "v"))).collect()[0][0])
+    n_part = iteration_partitions(spark, edges.count() * 2)
+    sym = (
+        undirect(edges)
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()  # materialize before the loop (cache must survive sweeps)
+    dist = spark.createDataFrame([(source, 0)], "v long, dist long")
+    frontier = dist
+    dist, dist_ids = tracked_checkpoint(dist)
+    frontier_ids: set[int] = set()
+    with scoped_shuffle_partitions(spark, n_part):
+        for k in range(1, max_iterations + 1):
+            reached = (
+                sym.join(
+                    frontier.select(F.col("v").alias("src")), "src"
+                )
+                .select(F.col("dst").alias("v"))
+                .distinct()
+                .join(dist, "v", "left_anti")
+                .select("v", F.lit(k).cast("long").alias("dist"))
+            )
+            new_frontier, new_frontier_ids = tracked_checkpoint(reached)
+            if new_frontier.count() == 0:
+                release_ids(spark, new_frontier_ids)
+                break
+            new_dist, new_dist_ids = tracked_checkpoint(
+                dist.unionAll(new_frontier)
+            )
+            release_ids(spark, dist_ids | frontier_ids)
+            dist, dist_ids = new_dist, new_dist_ids
+            frontier, frontier_ids = new_frontier, new_frontier_ids
+    release_ids(spark, frontier_ids)
+    sym.unpersist()
+    return dist
+
+
+def bfs_unrolled_sql(edges_sql: str, rounds: int = 8) -> str:
+    """DuckDB oracle: ``rounds`` unrolled min-relaxation steps from the
+    minimum vertex id. Relaxation is idempotent once the true BFS layers are
+    settled, so any ``rounds`` ≥ the source's eccentricity equals the
+    fixpoint — same idempotent-unroll contract as the peeling oracles."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e "
+        "UNION ALL SELECT v AS a, u AS b FROM e)",
+        "d0 AS MATERIALIZED (SELECT (SELECT min(least(u, v)) FROM e) AS v, 0 AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM ("
+            f"SELECT v, dist FROM d{k-1} UNION ALL "
+            f"SELECT s.b AS v, d.dist + 1 AS dist "
+            f"FROM d{k-1} d JOIN sym s ON s.a = d.v) GROUP BY v)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v, CAST(dist AS BIGINT) AS dist FROM d{rounds} ORDER BY v"
+    )

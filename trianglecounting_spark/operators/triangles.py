@@ -134,7 +134,9 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     """
     from trianglecounting_spark.operators.normalize import degrees
 
-    tris = triangle_enumerate(edges)
+    # kernel enumeration (the SMJ 3-way enumerate measured ~4x slower; the
+    # declarative form remains the differential oracle via the SQL path)
+    tris = triangle_enumerate_kernel(edges)
     # explode, not union — a union would re-run the triangle join per branch
     per_vertex_tri = (
         tris.select(F.explode(F.array("a", "b", "c")).alias("v"))
