@@ -22,6 +22,8 @@ from trianglecounting_spark.operators.pagerank import (
     pagerank_directed_unrolled_sql,
     pagerank_tol_unrolled_sql,
     pagerank_unrolled_sql,
+    personalized_pagerank,
+    personalized_pagerank_unrolled_sql,
 )
 from trianglecounting_spark.operators.bfs import bfs_distances, bfs_unrolled_sql
 from trianglecounting_spark.operators.linkpred import (
@@ -241,6 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # out-edges — the real web-graph case)
     q["pagerank_directed"] = lambda s, d: pagerank_directed(
         PG.pages_to_edges(_doc_pages(s, d)), iterations=10
+    ).select("v", F.round("score", 6).alias("score"))
+    # personalized PR: teleport to seed pages {0,1,2} (the url dictionary is
+    # dense 0..N-1, so the seeds exist at every SF) — "pages related to these"
+    q["pagerank_personalized"] = lambda s, d: personalized_pagerank(
+        PG.pages_to_edges(_doc_pages(s, d)), seeds=[0, 1, 2], iterations=10
     ).select("v", F.round("score", 6).alias("score"))
     # link prediction: DODG-bounded candidate wedges + exact common-neighbor
     # re-score (never the hub-quadratic symmetric wedge join)
@@ -537,6 +544,9 @@ def oracle_sql() -> dict[str, str]:
     # oracle query IS the directed edge relation)
     o["pagerank_directed"] = pagerank_directed_unrolled_sql(
         o["pages_to_edges"], iterations=10
+    )
+    o["pagerank_personalized"] = personalized_pagerank_unrolled_sql(
+        o["pages_to_edges"], seeds=[0, 1, 2], iterations=10
     )
 
     # script/style content is REMOVED by extraction; anchors contribute "a b"

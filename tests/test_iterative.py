@@ -243,3 +243,15 @@ def test_bfs_distances_path_and_parity(spark):
     got = {r.v: r.dist for r in bfs_distances(e).collect()}
     assert got == expected
     assert 900001 not in got  # unreachable component absent, not infinite
+
+
+def test_personalized_pagerank_seed_mass(spark):
+    """PPR over a -> b -> c with seed {a}: mass conserved, concentrated on
+    the seed side, zero on vertices unreachable from the seeds."""
+    from trianglecounting_spark.operators.pagerank import personalized_pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (9, 1)], "src long, dst long")
+    got = {r.v: r.score for r in personalized_pagerank(e, seeds=[1], iterations=12).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[1] > got[2] > got[3] > 0
+    assert got[9] == 0.0  # 9 only links IN; the walk never reaches it

@@ -215,6 +215,120 @@ def pagerank_directed(
     return ranks
 
 
+def personalized_pagerank(
+    directed_edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: the random walk teleports to the uniform
+    distribution over ``seeds`` instead of over all vertices — the standard
+    link-graph similarity/recommendation score ("pages related to these").
+
+    rank_{k+1}(v) = (1−d)·p(v) + d·( Σ_{u→v} rank_k(u)/outdeg(u) + D_k·p(v) )
+    with p uniform on the seed set (dangling mass D_k also returns to the
+    seeds — the walk restarts where it started). Same physical plan as
+    ``pagerank_directed``: cached pre-partitioned edge side, |V|-row rank
+    shuffles, one scalar dangling aggregate per step.
+
+    Output ``(v, score)``; mass concentrates near the seeds and Σ score = 1.
+    """
+    spark = directed_edges.sparkSession
+    e = directed_edges.select("src", "dst")
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_part = iteration_partitions(spark, e.count())
+    ed = (
+        e.join(out_deg, "src")
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ed.count()
+    dangling_verts = verts.join(
+        out_deg.select(F.col("src").alias("v")), "v", "left_anti"
+    ).localCheckpoint(eager=False)
+    p = 1.0 / len(seeds)
+    tele = F.when(F.col("v").isin([int(s) for s in seeds]), F.lit(p)).otherwise(
+        F.lit(0.0)
+    )
+    ranks = verts.select("v", tele.alias("score"))
+    prev_ids: set[int] = set()
+    with scoped_shuffle_partitions(spark, n_part):
+        for k in range(1, iterations + 1):
+            d_mass = (
+                ranks.join(dangling_verts, "v")
+                .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("m"))
+                .collect()[0]["m"]
+            )
+            contribs = (
+                ed.join(ranks.withColumnRenamed("v", "src"), "src")
+                .select(F.col("dst").alias("v"),
+                        (F.col("score") / F.col("deg")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("mass"))
+            )
+            ranks = verts.join(contribs, "v", "left").select(
+                "v",
+                (
+                    F.lit(1.0 - damping) * tele
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("mass"), F.lit(0.0))
+                       + F.lit(d_mass) * tele)
+                ).alias("score"),
+            )
+            if k % 5 == 0 or k == iterations:
+                ranks, new_ids = tracked_checkpoint(ranks)
+                release_ids(spark, prev_ids)
+                prev_ids = new_ids
+    ed.unpersist()
+    return ranks
+
+
+def personalized_pagerank_unrolled_sql(edges_sql: str, seeds: list[int],
+                                       iterations: int = 10,
+                                       damping: float = 0.85,
+                                       ndigits: int = 6) -> str:
+    """DuckDB oracle for ``personalized_pagerank`` — identical seed-teleport
+    walk with per-step dangling scalars, unrolled."""
+    d = damping
+    p = 1.0 / len(seeds)
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    tele = f"(CASE WHEN vv.v IN ({seed_list}) THEN {p!r} ELSE 0.0 END)"
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e))",
+        "odeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT vv.v, {tele} AS score FROM verts vv)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"dm{k} AS MATERIALIZED (SELECT coalesce(sum(score), 0) AS m "
+            f"FROM r{k-1} WHERE v NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"sum(r.score / o.deg) AS mass FROM e "
+            f"JOIN odeg o ON o.src = e.src JOIN r{k-1} r ON r.v = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT vv.v, "
+            f"(1.0 - {d}) * {tele} + {d} * "
+            f"(coalesce(c.mass, 0) + (SELECT m FROM dm{k}) * {tele}) "
+            f"AS score FROM verts vv LEFT JOIN c{k} c ON c.v = vv.v)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v, round(score, {ndigits}) AS score FROM r{iterations} ORDER BY v"
+    )
+
+
 def pagerank_directed_unrolled_sql(edges_sql: str, iterations: int = 10,
                                    damping: float = 0.85, ndigits: int = 6) -> str:
     """DuckDB oracle for ``pagerank_directed``: same fixed-iteration directed
