@@ -24,6 +24,8 @@ from trianglecounting_spark.operators.pagerank import (
     pagerank_unrolled_sql,
     personalized_pagerank,
     personalized_pagerank_unrolled_sql,
+    hits,
+    hits_unrolled_sql,
 )
 from trianglecounting_spark.operators.bfs import bfs_distances, bfs_unrolled_sql
 from trianglecounting_spark.operators.linkpred import (
@@ -244,6 +246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_directed"] = lambda s, d: pagerank_directed(
         PG.pages_to_edges(_doc_pages(s, d)), iterations=10
     ).select("v", F.round("score", 6).alias("score"))
+    # HITS hubs & authorities over the same directed page graph
+    q["hits"] = lambda s, d: hits(
+        PG.pages_to_edges(_doc_pages(s, d)), iterations=5
+    ).select("v", F.round("hub", 6).alias("hub"),
+             F.round("authority", 6).alias("authority"))
     # personalized PR: teleport to seed pages {0,1,2} (the url dictionary is
     # dense 0..N-1, so the seeds exist at every SF) — "pages related to these"
     q["pagerank_personalized"] = lambda s, d: personalized_pagerank(
@@ -548,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
     o["pagerank_personalized"] = personalized_pagerank_unrolled_sql(
         o["pages_to_edges"], seeds=[0, 1, 2], iterations=10
     )
+    o["hits"] = hits_unrolled_sql(o["pages_to_edges"], iterations=5)
 
     # script/style content is REMOVED by extraction; anchors contribute "a b"
     o["pages_extract_text_fp"] = (

@@ -255,3 +255,16 @@ def test_personalized_pagerank_seed_mass(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[1] > got[2] > got[3] > 0
     assert got[9] == 0.0  # 9 only links IN; the walk never reaches it
+
+
+def test_hits_closed_form(spark):
+    """Star of links into one authority: 1 -> 3, 2 -> 3. At any iteration,
+    authority concentrates entirely on 3 and hub mass splits evenly over
+    1 and 2; all scores L1-normalized."""
+    from trianglecounting_spark.operators.pagerank import hits
+
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = {r.v: (r.hub, r.authority) for r in hits(e, iterations=3).collect()}
+    assert got[3] == (0.0, 1.0)
+    assert abs(got[1][0] - 0.5) < 1e-12 and got[1][1] == 0.0
+    assert abs(got[2][0] - 0.5) < 1e-12

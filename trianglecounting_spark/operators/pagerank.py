@@ -329,6 +329,108 @@ def personalized_pagerank_unrolled_sql(edges_sql: str, seeds: list[int],
     )
 
 
+def hits(directed_edges: DataFrame, iterations: int = 10) -> DataFrame:
+    """HITS (Kleinberg 1999) hub/authority scores over the directed link
+    graph — PageRank's classic companion: authorities are pages good links
+    point AT, hubs are pages that point at good authorities.
+
+    Per iteration (L1-normalized so scores are comparable and the oracle is
+    a plain unrolled query):  a_k(v) ∝ Σ_{u→v} h_{k-1}(u) then
+    h_k(u) ∝ Σ_{u→v} a_k(v), each rescaled to sum 1. Two vertex-keyed joins
+    + two |V|-row aggregates per iteration over the one cached pre-partitioned
+    edge table — the same shuffle envelope as the PageRank loop.
+
+    Output: ``(v, hub: double, authority: double)`` over all vertices
+    (vertices with no in-links get authority 0; no out-links → hub 0).
+    """
+    spark = directed_edges.sparkSession
+    e = directed_edges.select("src", "dst")
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = verts.count()
+    n_part = iteration_partitions(spark, e.count())
+    ed = e.repartition(n_part, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ed.count()
+    hubs = verts.select("v", (F.lit(1.0) / n).alias("hub"))
+    auths = verts.select("v", F.lit(0.0).alias("authority"))
+    prev_ids: set[int] = set()
+    with scoped_shuffle_partitions(spark, n_part):
+        for k in range(1, iterations + 1):
+            a_raw = (
+                ed.join(hubs.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("hub").alias("a"))
+            )
+            a_tot = a_raw.agg(F.sum("a")).collect()[0][0] or 1.0
+            auths = verts.join(a_raw, "v", "left").select(
+                "v", (F.coalesce(F.col("a"), F.lit(0.0)) / F.lit(a_tot)).alias("authority")
+            )
+            h_raw = (
+                ed.join(auths.withColumnRenamed("v", "dst"), "dst")
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.sum("authority").alias("h"))
+            )
+            h_tot = h_raw.agg(F.sum("h")).collect()[0][0] or 1.0
+            hubs = verts.join(h_raw, "v", "left").select(
+                "v", (F.coalesce(F.col("h"), F.lit(0.0)) / F.lit(h_tot)).alias("hub")
+            )
+            if k % 5 == 0 or k == iterations:
+                hubs, hub_ids = tracked_checkpoint(hubs)
+                auths, auth_ids = tracked_checkpoint(auths)
+                release_ids(spark, prev_ids)
+                prev_ids = hub_ids | auth_ids
+    ed.unpersist()
+    return hubs.join(auths, "v").select("v", "hub", "authority")
+
+
+def hits_unrolled_sql(edges_sql: str, iterations: int = 10,
+                      ndigits: int = 6) -> str:
+    """DuckDB oracle for ``hits`` — identical L1-normalized power iteration,
+    unrolled with per-step normalization scalars."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM verts)",
+        "h0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nn) AS hub FROM verts)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS v, sum(h.hub) AS a "
+            f"FROM e JOIN h{k-1} h ON h.v = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"at{k} AS MATERIALIZED (SELECT coalesce(sum(a), 1.0) AS t FROM ar{k})"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT vv.v, "
+            f"coalesce(r.a, 0) / (SELECT t FROM at{k}) AS authority "
+            f"FROM verts vv LEFT JOIN ar{k} r ON r.v = vv.v)"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS v, sum(a.authority) AS h "
+            f"FROM e JOIN a{k} a ON a.v = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"ht{k} AS MATERIALIZED (SELECT coalesce(sum(h), 1.0) AS t FROM hr{k})"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT vv.v, "
+            f"coalesce(r.h, 0) / (SELECT t FROM ht{k}) AS hub "
+            f"FROM verts vv LEFT JOIN hr{k} r ON r.v = vv.v)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT h.v, round(h.hub, {ndigits}) AS hub, "
+        f"round(a.authority, {ndigits}) AS authority "
+        f"FROM h{iterations} h JOIN a{iterations} a ON a.v = h.v ORDER BY h.v"
+    )
+
+
 def pagerank_directed_unrolled_sql(edges_sql: str, iterations: int = 10,
                                    damping: float = 0.85, ndigits: int = 6) -> str:
     """DuckDB oracle for ``pagerank_directed``: same fixed-iteration directed
