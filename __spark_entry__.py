@@ -24,10 +24,17 @@ from trianglecounting_spark.operators.pagerank import (
     pagerank_unrolled_sql,
     personalized_pagerank,
     personalized_pagerank_unrolled_sql,
+    pagerank_weighted,
+    pagerank_weighted_unrolled_sql,
     hits,
     hits_unrolled_sql,
 )
-from trianglecounting_spark.operators.bfs import bfs_distances, bfs_unrolled_sql
+from trianglecounting_spark.operators.bfs import (
+    bfs_distances,
+    bfs_unrolled_sql,
+    double_sweep_diameter,
+    double_sweep_diameter_sql,
+)
 from trianglecounting_spark.operators.linkpred import (
     common_neighbor_pairs,
     common_neighbor_pairs_sql,
@@ -246,6 +253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_directed"] = lambda s, d: pagerank_directed(
         PG.pages_to_edges(_doc_pages(s, d)), iterations=10
     ).select("v", F.round("score", 6).alias("score"))
+    # weighted PageRank: rank flows proportionally to co-occurrence weight
+    q["pagerank_weighted"] = lambda s, d: pagerank_weighted(
+        g.copart_graph_weighted(s, d), iterations=10
+    ).select("v", F.round("score", 6).alias("score"))
     # HITS hubs & authorities over the same directed page graph
     q["hits"] = lambda s, d: hits(
         PG.pages_to_edges(_doc_pages(s, d)), iterations=5
@@ -262,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sampled subgraph (eccentricity 4-5 there; the dense full graph has
     # diameter 2 — a trivial two-layer answer)
     q["bfs_levels"] = lambda s, d: bfs_distances(_sampled_edges(s, d))
+    q["diameter_lb"] = lambda s, d: double_sweep_diameter(_sampled_edges(s, d))
     q["link_prediction_cn"] = lambda s, d: common_neighbor_pairs(
         _sampled_edges(s, d), min_common=2
     )
@@ -517,7 +529,11 @@ def oracle_sql() -> dict[str, str]:
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)
     o["pagerank"] = pagerank_unrolled_sql(_E, iterations=10)
     o["pagerank_tol"] = pagerank_tol_unrolled_sql(_E, iterations=15, tol=1e-4)
+    o["pagerank_weighted"] = pagerank_weighted_unrolled_sql(
+        g.COPART_EDGES_WEIGHTED_SQL, iterations=10
+    )
     o["bfs_levels"] = bfs_unrolled_sql(_SAMPLED_E, rounds=8)
+    o["diameter_lb"] = double_sweep_diameter_sql(_SAMPLED_E, rounds=8)
     o["link_prediction_cn"] = common_neighbor_pairs_sql(_SAMPLED_E, min_common=2)
     o["link_prediction_scores"] = link_prediction_scores_sql(_SAMPLED_E, min_common=2)
     o["rank_by_degree"] = (

@@ -268,3 +268,30 @@ def test_hits_closed_form(spark):
     assert got[3] == (0.0, 1.0)
     assert abs(got[1][0] - 0.5) < 1e-12 and got[1][1] == 0.0
     assert abs(got[2][0] - 0.5) < 1e-12
+
+
+def test_double_sweep_diameter_exact_on_path(spark):
+    """On a path 0-1-...-5 the double sweep is exact: first BFS from 0
+    reaches 5 at distance 5; the second sweep from 5 reports 5."""
+    from trianglecounting_spark.operators.bfs import double_sweep_diameter
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(5)], "u long, v long")
+    r = double_sweep_diameter(path).collect()[0]
+    assert (r.source, r.far_vertex, r.diameter_lb) == (0, 5, 5)
+
+
+def test_pagerank_weighted_reduces_to_unweighted(spark):
+    """All-equal weights must reproduce the unweighted scores exactly, and
+    mass is conserved under skewed weights."""
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.operators.pagerank import pagerank, pagerank_weighted
+    from trianglecounting_spark.sources import generators as g
+
+    e = normalize_edges(g.rmat_graph(spark, scale=6, edge_factor=4))
+    w1 = e.select("u", "v", F.lit(7).alias("w"))  # equal weights cancel
+    a = {r.v: round(r.score, 9) for r in pagerank(e, iterations=6).collect()}
+    b = {r.v: round(r.score, 9) for r in pagerank_weighted(w1, iterations=6).collect()}
+    assert a == b
+    skew = e.select("u", "v", (F.pmod(F.col("u") + F.col("v"), F.lit(5)) + 1).alias("w"))
+    total = pagerank_weighted(skew, iterations=6).agg(F.sum("score")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9

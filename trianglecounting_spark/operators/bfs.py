@@ -79,6 +79,64 @@ def bfs_distances(
     return dist
 
 
+def double_sweep_diameter(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009): BFS
+    from the minimum vertex id, then BFS from the farthest vertex found
+    (ties → smallest id); the second sweep's eccentricity is a lower bound on
+    the diameter that is exact on trees and near-exact on real web graphs —
+    the standard O(2·BFS) estimator where the exact diameter would need
+    all-pairs. Output: one row ``(source, far_vertex, diameter_lb)``."""
+    first = bfs_distances(edges, max_iterations=max_iterations)
+    # farthest vertex, smallest id on ties: max over (dist, -v)
+    far_row = first.agg(
+        F.max(F.struct(F.col("dist"), (-F.col("v")).alias("nv"))).alias("m")
+    ).collect()[0]["m"]
+    far_v = -int(far_row["nv"])
+    second = bfs_distances(edges, source=far_v, max_iterations=max_iterations)
+    source = int(edges.agg(F.min(F.least("u", "v"))).collect()[0][0])
+    return second.agg(
+        F.lit(source).cast("long").alias("source"),
+        F.lit(far_v).cast("long").alias("far_vertex"),
+        F.max("dist").cast("long").alias("diameter_lb"),
+    )
+
+
+def double_sweep_diameter_sql(edges_sql: str, rounds: int = 8) -> str:
+    """DuckDB oracle: two unrolled min-relaxation chains; the second is
+    seeded from the first sweep's (max dist, min id) vertex."""
+
+    def chain(prefix: str, seed_expr: str) -> list[str]:
+        parts = [
+            f"{prefix}0 AS MATERIALIZED (SELECT {seed_expr} AS v, 0 AS dist)"
+        ]
+        for k in range(1, rounds + 1):
+            parts.append(
+                f"{prefix}{k} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM ("
+                f"SELECT v, dist FROM {prefix}{k-1} UNION ALL "
+                f"SELECT s.b AS v, d.dist + 1 AS dist "
+                f"FROM {prefix}{k-1} d JOIN sym s ON s.a = d.v) GROUP BY v)"
+            )
+        return parts
+
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e "
+        "UNION ALL SELECT v AS a, u AS b FROM e)",
+    ]
+    parts += chain("f", "(SELECT min(least(u, v)) FROM e)")
+    parts.append(
+        f"farv AS MATERIALIZED (SELECT v FROM f{rounds} "
+        "ORDER BY dist DESC, v ASC LIMIT 1)"
+    )
+    parts += chain("g", "(SELECT v FROM farv)")
+    return (
+        ", ".join(parts)
+        + " SELECT CAST((SELECT min(least(u, v)) FROM e) AS BIGINT) AS source, "
+        "CAST((SELECT v FROM farv) AS BIGINT) AS far_vertex, "
+        f"CAST((SELECT max(dist) FROM g{rounds}) AS BIGINT) AS diameter_lb"
+    )
+
+
 def bfs_unrolled_sql(edges_sql: str, rounds: int = 8) -> str:
     """DuckDB oracle: ``rounds`` unrolled min-relaxation steps from the
     minimum vertex id. Relaxation is idempotent once the true BFS layers are

@@ -215,6 +215,88 @@ def pagerank_directed(
     return ranks
 
 
+def pagerank_weighted(
+    weighted_edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED WEIGHTED graph ``(u, v, w)``: each step a
+    vertex distributes its rank to neighbors proportionally to edge weight —
+    rank·w(u,v)/strength(u) with strength = Σ w. The natural form when edges
+    carry link multiplicity (repeated hyperlinks between the same pages).
+    Same physical plan as ``pagerank``: the weighted symmetric edge side is
+    pre-partitioned once and cached; iterations shuffle |V|-row tables only.
+    Output ``(v, score)``; Σ score = 1 (no dangling on undirected graphs).
+    """
+    spark = weighted_edges.sparkSession
+    sym = weighted_edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(
+        weighted_edges.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), "w"
+        )
+    )
+    strength = sym.groupBy("src").agg(F.sum("w").alias("s"))
+    n = strength.count()
+    n_part = iteration_partitions(spark, weighted_edges.count() * 2)
+    sym_s = (
+        sym.join(strength, "src")
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym_s.count()
+    ranks = strength.select(F.col("src").alias("v"), (F.lit(1.0) / n).alias("score"))
+    prev_ids: set[int] = set()
+    with scoped_shuffle_partitions(spark, n_part):
+        for k in range(1, iterations + 1):
+            contribs = (
+                sym_s.join(ranks.withColumnRenamed("v", "src"), "src")
+                .select(
+                    F.col("dst").alias("v"),
+                    (F.col("score") * F.col("w") / F.col("s")).alias("c"),
+                )
+                .groupBy("v")
+                .agg(F.sum("c").alias("mass"))
+            )
+            ranks = contribs.select(
+                "v",
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping) * F.col("mass")).alias("score"),
+            )
+            if k % 5 == 0 or k == iterations:
+                ranks, new_ids = tracked_checkpoint(ranks)
+                release_ids(spark, prev_ids)
+                prev_ids = new_ids
+    sym_s.unpersist()
+    return ranks
+
+
+def pagerank_weighted_unrolled_sql(weighted_edges_sql: str, iterations: int = 10,
+                                   damping: float = 0.85, ndigits: int = 6) -> str:
+    """DuckDB oracle for ``pagerank_weighted`` — identical weighted walk,
+    unrolled; ``weighted_edges_sql`` yields ``(u, v, w)``."""
+    d = damping
+    parts = [
+        f"WITH e AS MATERIALIZED ({weighted_edges_sql})",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM e "
+        "UNION ALL SELECT v AS src, u AS dst, w FROM e)",
+        "st AS MATERIALIZED (SELECT src, sum(w) AS s FROM sym GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM st)",
+        "r0 AS MATERIALIZED (SELECT src AS v, 1.0/(SELECT n FROM nn) AS score FROM st)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT s.dst AS v, "
+            f"(1.0 - {d})/(SELECT n FROM nn) + {d} * sum(r.score * s.w / t.s) AS score "
+            f"FROM sym s JOIN st t ON t.src = s.src "
+            f"JOIN r{k-1} r ON r.v = s.src GROUP BY s.dst)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT v, round(score, {ndigits}) AS score FROM r{iterations} ORDER BY v"
+    )
+
+
 def personalized_pagerank(
     directed_edges: DataFrame,
     seeds: list[int],

@@ -143,6 +143,32 @@ COPART_EDGES_SQL = (
     "AND a.l_partkey < b.l_partkey"
 )
 
+
+def copart_graph_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted twin of ``copart_graph``: edge weight = number of orders the
+    pair co-occurs in (the natural link-strength column a crawl derives from
+    repeated hyperlinks). Output ``(u, v, w: long)`` with u < v."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy(
+            F.col("p1").cast("long").alias("u"),
+            F.col("p2").cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+COPART_EDGES_WEIGHTED_SQL = (
+    "SELECT CAST(a.l_partkey AS BIGINT) AS u, CAST(b.l_partkey AS BIGINT) AS v, "
+    "count(*) AS w "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey < b.l_partkey GROUP BY 1, 2"
+)
+
 # Smaller graph for the expensive iterative oracles (k-truss, PageRank, CC, LP):
 # suppliers co-occurring in the same order — ~100·sf vertices, dense enough for
 # triangles, small enough that unrolled-SQL oracles stay fast in DuckDB.
