@@ -330,6 +330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exact_dedup"] = lambda s, d: DD.exact_duplicates(_docs_with_dups(s, d))
     q["minhash_lsh_pairs"] = lambda s, d: DD.minhash_lsh_pairs(_docs(s, d), k=5, num_hashes=16, bands=4)
+    # pairs -> connected components -> canonical keep-id (the full dedup
+    # pipeline step; singletons keep themselves)
+    q["dedup_clusters"] = lambda s, d: DD.dedup_clusters(_docs(s, d), k=5, num_hashes=16, bands=4)
     q["simhash"] = lambda s, d: DD.simhash(_docs(s, d), bits=32)
     q["ngram_jaccard"] = lambda s, d: DD.ngram_jaccard_all_pairs(_docs(s, d), k=8, min_jaccard=0.2)
 
@@ -593,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM docs2 GROUP BY 1 HAVING count(*) > 1"
     )
     o["minhash_lsh_pairs"] = DD.minhash_lsh_pairs_sql(k=5, num_hashes=16, bands=4)
+    o["dedup_clusters"] = DD.dedup_clusters_sql(k=5, num_hashes=16, bands=4)
     o["simhash"] = DD.simhash_sql(bits=32)
     o["ngram_jaccard"] = DD.ngram_jaccard_all_pairs_sql(k=8, min_jaccard=0.2)
 

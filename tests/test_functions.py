@@ -325,3 +325,23 @@ def test_wav_decode_and_real_audio_features(spark):
         mm._decode_image(b"\x89PNG\r\n\x1a\n....", "real")
     with pytest.raises(Exception, match="ffmpeg"):
         mm._decode_audio(b"ID3\x04....", "real")
+
+
+def test_dedup_clusters_chain_closure(spark):
+    """Near-dup similarity is not transitive: A~B and B~C must still land in
+    ONE cluster with the minimum id kept, and unrelated docs keep
+    themselves."""
+    docs = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "the quick brown fox jumps over the lazy dog again and AGAIN!"),
+            (12, "the quick brown fox jumps over the lazy dog AGAIN and AGAIN!!"),
+            (30, "completely unrelated text about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.keep_id for r in dd.dedup_clusters(docs).collect()}
+    assert got[30] == 30
+    assert got[10] == 10
+    # 11 and 12 reach 10 through the chain even if (10,12) never paired
+    assert got[11] == 10 and got[12] == 10

@@ -294,3 +294,46 @@ def ngram_jaccard_all_pairs(docs: DataFrame, k: int = 5, min_jaccard: float = 0.
         .where(jac >= min_jaccard)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def dedup_clusters(docs: DataFrame, k: int = 5, num_hashes: int = 16,
+                   bands: int = 4) -> DataFrame:
+    """Near-duplicate CLUSTER assignment — the step a real dedup pipeline
+    runs after pair generation: treat the MinHash-LSH pairs as an undirected
+    graph, take connected components (large-star/small-star — near-dup
+    similarity is not transitive, so clustering must close over chains), and
+    keep the minimum doc_id per cluster as the canonical representative.
+
+    Composes two verified operators end-to-end; at 100 TB the pair graph is
+    tiny relative to the corpus (only near-dup docs appear), so the CC
+    iterations run on a table orders of magnitude smaller than the input.
+    Output: ``(doc_id, keep_id)`` for EVERY document — singletons keep
+    themselves; a row survives the pipeline iff ``doc_id == keep_id``.
+    """
+    from trianglecounting_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(docs, k=k, num_hashes=num_hashes, bands=bands)
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    labels = connected_components(edges).select(
+        F.col("v").alias("doc_id"), F.col("component").alias("keep_id")
+    )
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("keep_id", F.col("doc_id")).cast("long").alias("keep_id")
+    )
+
+
+def dedup_clusters_sql(k: int = 5, num_hashes: int = 16, bands: int = 4,
+                       cc_rounds: int = 15) -> str:
+    """DuckDB twin: the pair SQL as an edge list + min-label flooding
+    (rounds ≥ the pair-graph diameter — near-dup clusters are near-cliques,
+    so the flood settles in a handful of rounds) + the keep-self default."""
+    from trianglecounting_spark.operators.components import cc_minlabel_unrolled_sql
+
+    pair_edges = (
+        f"SELECT id_a AS u, id_b AS v FROM ({minhash_lsh_pairs_sql(k, num_hashes, bands)})"
+    )
+    cc = cc_minlabel_unrolled_sql(pair_edges, rounds=cc_rounds)
+    return (
+        f"SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS keep_id "
+        f"FROM documents d LEFT JOIN ({cc}) c ON c.v = d.doc_id ORDER BY d.doc_id"
+    )
