@@ -2,18 +2,26 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": <sf>,
-     "edges": N, "triangles": N, "edges_per_sec": ...}
+     "queries": {...per-query sec...}, "spread": {...[min,max] for repeated...},
+     "sf": <sf>, "edges": N, "triangles": N, "edges_per_sec": ...}
 
 The headline metric mirrors BASELINE.md: end-to-end triangle-count wall time
-(scan → normalize → DODG → count) plus the companion operators. Scaling
-evidence (N vs 4N cores) is produced by tools/bench_scaling.py → BENCH/BASELINE.md.
+(scan → normalize → DODG → count) plus the companion operators. Measurement
+protocol (VERDICT r3 #4 — this sandbox's hypervisor shows up to 2× run-to-run
+variance, memory: sandbox-perf-quirks): one-time build phases (warmup,
+edge-table build, layout write, the sf0.01 SQL-parity differential check) are
+measured once — they are pay-once costs by design — and every steady-state
+query runs $SPARK_GRAFT_REPEATS times (default 3); "queries" holds the MEDIAN
+and "spread" the [min, max], so a single noisy run can't masquerade as a
+regression. Scaling evidence (N vs 4N cores) is produced by
+tools/bench_scaling.py → BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
@@ -44,17 +53,27 @@ def main() -> None:
     spark = get_spark(app_name="tc-spark-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries: dict[str, float] = {}
+    once: dict[str, float] = {}          # pay-once phases, single measurement
+    reps: dict[str, list[float]] = {}    # steady-state, one value per repeat
     stats: dict[str, float] = {}
     protected: set[int] = set()  # the input edge tables' checkpoint blocks
 
-    def timed(name, fn):
+    def _run(fn):
         # deterministically release the previous query's cache/checkpoint
         # blocks before timing (plans/cache.py — not a GC-timing workaround)
         release_all_cached(spark, keep=protected)
         t0 = time.time()
         out = fn()
-        queries[name] = round(time.time() - t0, 3)
+        return out, round(time.time() - t0, 3)
+
+    def timed_once(name, fn):
+        out, dt = _run(fn)
+        once[name] = dt
+        return out
+
+    def timed_rep(name, fn):
+        out, dt = _run(fn)
+        reps.setdefault(name, []).append(dt)
         return out
 
     # First-job warmup isolated into its OWN line (r2 showed build_edges
@@ -73,21 +92,16 @@ def main() -> None:
         spark.range(1_000).mapInArrow(_ident, "id long").count()
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    timed("session_warmup", _warmup)
+    timed_once("session_warmup", _warmup)
 
-    # edge table build (scan + normalize + co-occurrence join) — measured once
-    edges = timed("build_edges", lambda: g.copart_graph(spark, sf_dir).localCheckpoint(eager=True))
+    # edge table build (scan + normalize + co-occurrence join) — one-time
+    edges = timed_once(
+        "build_edges",
+        lambda: g.copart_graph(spark, sf_dir).localCheckpoint(eager=True),
+    )
     protected.update(persistent_rdd_ids(spark))
     n_edges = edges.count()
     stats["edges"] = n_edges
-
-    obs = Observation("kernel_metrics")
-    tri = timed(
-        "triangle_count_kernel",
-        lambda: t.triangle_count_kernel(edges, observation=obs).collect()[0].triangles,
-    )
-    stats["triangles"] = tri
-    probes = int(obs.get["probes"])
 
     # bucketed physical layout: pay the co-location once (build_layout), then
     # the kernel join is exchange-free on read — the 100 TB steady-state shape
@@ -96,59 +110,96 @@ def main() -> None:
     from trianglecounting_spark.plans.layout import write_graph_layout
 
     layout_dir = tempfile.mkdtemp(prefix="tc_layout_")
-    e_tbl, a_tbl, h_tbl = timed(
+    e_tbl, a_tbl, h_tbl = timed_once(
         "build_layout", lambda: write_graph_layout(edges, layout_dir, buckets=64)
-    )
-    tri_b = timed(
-        "triangle_count_kernel_bucketed",
-        lambda: t.triangle_count_kernel_bucketed(spark, e_tbl, a_tbl, hub_table=h_tbl)
-        .collect()[0]
-        .triangles,
-    )
-    assert tri_b == tri, (tri_b, tri)
-    timed(
-        "triangle_per_edge_bucketed",
-        lambda: t.triangle_per_edge_support_bucketed(spark, e_tbl, a_tbl, hub_table=h_tbl)
-        .agg(F.sum("support"))
-        .collect(),
     )
 
     # declarative 3-way-join parity check at sf0.01 (its documented role is the
     # differential oracle; timing the full wedge volume at sf0.1 made the suite
-    # 35% oracle-replay — VERDICT r1)
+    # 35% oracle-replay — VERDICT r1). One-time: it carries an assert, not a
+    # steady-state measurement.
     sql_dir = sf_dir.replace("sf0.1", "sf0.01")
     if os.path.isdir(sql_dir):
         release_all_cached(spark, keep=protected)
         sql_edges = g.copart_graph(spark, sql_dir).localCheckpoint(eager=True)
         protected.update(persistent_rdd_ids(spark))
-        tri_sql = timed(
+        tri_sql = timed_once(
             "triangle_count_sql_parity_sf0.01",
             lambda: t.triangle_count_sql(sql_edges).collect()[0].triangles,
         )
         kernel_small = t.triangle_count_kernel(sql_edges).collect()[0].triangles
         assert tri_sql == kernel_small, (tri_sql, kernel_small)
 
-    timed(
-        "triangle_per_edge",
-        lambda: t.triangle_per_edge_support(edges).agg(F.sum("support")).collect(),
-    )
-    timed("pagerank_10", lambda: pagerank(edges, iterations=10).agg(F.sum("score")).collect())
-    timed("connected_components", lambda: connected_components(edges).agg(F.countDistinct("component")).collect())
-    timed("label_propagation_4", lambda: label_propagation(edges, rounds=4).agg(F.countDistinct("label")).collect())
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed("minhash_lsh_pairs", lambda: dd.minhash_lsh_pairs(docs).count())
-    timed("token_quality", lambda: ts.quality_score(docs).agg(F.sum("n_words")).collect())
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    timed("cosine_topk_kernel", lambda: sim.cosine_topk_kernel(emb, k=5).count())
-    # the scale path: bucketed candidates, no driver collect, no all-pairs
-    timed(
-        "ann_lsh_topk",
-        lambda: sim.ann_lsh_topk(emb, dim=64, k=5, n_planes=6, tables=2).count(),
-    )
+
+    tri = None
+    probes = None
+    for r in range(repeats):
+        obs = Observation(f"kernel_metrics_{r}")
+        tri_r = timed_rep(
+            "triangle_count_kernel",
+            lambda: t.triangle_count_kernel(edges, observation=obs)
+            .collect()[0]
+            .triangles,
+        )
+        probes_r = int(obs.get["probes"])
+        if tri is None:
+            tri, probes = tri_r, probes_r
+        assert tri_r == tri, (tri_r, tri)
+
+        tri_b = timed_rep(
+            "triangle_count_kernel_bucketed",
+            lambda: t.triangle_count_kernel_bucketed(
+                spark, e_tbl, a_tbl, hub_table=h_tbl
+            )
+            .collect()[0]
+            .triangles,
+        )
+        assert tri_b == tri, (tri_b, tri)
+        timed_rep(
+            "triangle_per_edge_bucketed",
+            lambda: t.triangle_per_edge_support_bucketed(
+                spark, e_tbl, a_tbl, hub_table=h_tbl
+            )
+            .agg(F.sum("support"))
+            .collect(),
+        )
+        timed_rep(
+            "triangle_per_edge",
+            lambda: t.triangle_per_edge_support(edges).agg(F.sum("support")).collect(),
+        )
+        timed_rep(
+            "pagerank_10",
+            lambda: pagerank(edges, iterations=10).agg(F.sum("score")).collect(),
+        )
+        timed_rep(
+            "connected_components",
+            lambda: connected_components(edges).agg(F.countDistinct("component")).collect(),
+        )
+        timed_rep(
+            "label_propagation_4",
+            lambda: label_propagation(edges, rounds=4).agg(F.countDistinct("label")).collect(),
+        )
+        timed_rep("minhash_lsh_pairs", lambda: dd.minhash_lsh_pairs(docs).count())
+        timed_rep(
+            "token_quality",
+            lambda: ts.quality_score(docs).agg(F.sum("n_words")).collect(),
+        )
+        timed_rep("cosine_topk_kernel", lambda: sim.cosine_topk_kernel(emb, k=5).count())
+        # the scale path: bucketed candidates, no driver collect, no all-pairs
+        timed_rep(
+            "ann_lsh_topk",
+            lambda: sim.ann_lsh_topk(emb, dim=64, k=5, n_planes=6, tables=2).count(),
+        )
+
+    queries = dict(once)
+    spread: dict[str, list[float]] = {}
+    for name, vals in reps.items():
+        queries[name] = round(statistics.median(vals), 3)
+        spread[name] = [round(min(vals), 3), round(max(vals), 3)]
 
     total = round(sum(queries.values()), 3)
     kernel_sec = max(queries["triangle_count_kernel"], 1e-9)
@@ -159,6 +210,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "spread": spread,
+                "repeats": repeats,
                 "sf": float(sf),
                 "cores": cores,
                 "edges": int(n_edges),

@@ -345,3 +345,46 @@ def test_dedup_clusters_chain_closure(spark):
     assert got[10] == 10
     # 11 and 12 reach 10 through the chain even if (10,12) never paired
     assert got[11] == 10 and got[12] == 10
+
+
+def test_ngram_dup_ratio_known_values(spark):
+    """Hand-checkable repetition ratios, incl. the <n-token degenerate doc."""
+    from trianglecounting_spark.functions.textstats import ngram_dup_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b"),   # 3-grams: abc bca cab abc bca cab → 6 total, 3 distinct
+            (1, "x y z w"),           # xyz yzw → 2 total, 2 distinct, ratio 0
+            (2, "hi"),                # < 3 tokens → 0 ngrams, ratio 0
+            (3, "go go go go"),       # gogogo ×2... 2 total, 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_dup_ratio(docs, n=3).collect()}
+    assert (rows[0].n_ngrams, rows[0].n_distinct) == (6, 3)
+    assert rows[0].dup_ratio == 0.5
+    assert (rows[1].n_ngrams, rows[1].dup_ratio) == (2, 0.0)
+    assert (rows[2].n_ngrams, rows[2].dup_ratio) == (0, 0.0)
+    assert (rows[3].n_ngrams, rows[3].n_distinct) == (2, 1)
+
+
+def test_ngram_top_dups_degenerate_repeated_corpus(spark):
+    """Skew shape: one boilerplate phrase repeated across the whole corpus
+    (the hot-key case the salted count exists for) — the top-1 n-gram is the
+    boilerplate with the exact corpus-wide occurrence count."""
+    from trianglecounting_spark.functions.textstats import ngram_top_dups
+
+    boiler = "click here to accept cookies"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body text {boiler}") for i in range(200)]
+        + [(1000, "completely unique content nothing repeated")],
+        "doc_id long, text string",
+    )
+    top = ngram_top_dups(docs, n=3, top=5, salts=8).collect()
+    assert top[0].ngram == "click here to" or top[0].cnt == 200
+    # every returned n-gram is genuinely duplicated and sorted by count desc
+    assert all(r.cnt > 1 for r in top)
+    assert [r.cnt for r in top] == sorted([r.cnt for r in top], reverse=True)
+    # the boilerplate's own 3-grams each appear exactly 200 times
+    boiler_grams = {r.ngram for r in top if r.cnt == 200}
+    assert "here to accept" in boiler_grams

@@ -263,3 +263,42 @@ def test_streaming_maintained_triangle_count(spark, tmp_path):
     expected = triangle_count_kernel(table.select("u", "v")).collect()[0].triangles
     assert read_maintained_triangle_count(tbl) == expected
     assert table.count() == len(e)
+
+
+def test_maintain_triangle_count_fresh_checkpoint_raises(spark, tmp_path):
+    """Pointing a FRESH checkpoint at an existing table+sidecar must raise:
+    batch_id would restart at 0 <= the sidecar's recorded batch_id, so every
+    delta would be silently skipped while appends continue (ADVICE r3)."""
+    import pytest as _pytest
+
+    from trianglecounting_spark.streaming.edges import (
+        maintain_triangle_count,
+        normalize_stream,
+        read_maintained_triangle_count,
+        stream_raw_edges,
+    )
+
+    src_dir, tbl, ckpt = (str(tmp_path / x) for x in ("src", "tbl", "ckpt"))
+    spark.createDataFrame(
+        [(1, 2, "2024-01-01 00:00:00"), (2, 3, "2024-01-01 00:00:00"),
+         (1, 3, "2024-01-01 00:00:00")],
+        "src long, dst long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q = maintain_triangle_count(
+        normalize_stream(stream_raw_edges(spark, src_dir)), tbl, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert read_maintained_triangle_count(tbl) == 1
+    # resuming the SAME checkpoint is fine (the supported restart path)
+    maintain_triangle_count(
+        normalize_stream(stream_raw_edges(spark, src_dir)), tbl, ckpt
+    )
+    # a fresh checkpoint over the existing table+sidecar must refuse
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        maintain_triangle_count(
+            normalize_stream(stream_raw_edges(spark, src_dir)),
+            tbl,
+            str(tmp_path / "ckpt_fresh"),
+        )

@@ -323,10 +323,17 @@ def dedup_clusters(docs: DataFrame, k: int = 5, num_hashes: int = 16,
 
 
 def dedup_clusters_sql(k: int = 5, num_hashes: int = 16, bands: int = 4,
-                       cc_rounds: int = 15) -> str:
+                       cc_rounds: int = 50) -> str:
     """DuckDB twin: the pair SQL as an edge list + min-label flooding
-    (rounds ≥ the pair-graph diameter — near-dup clusters are near-cliques,
-    so the flood settles in a handful of rounds) + the keep-self default."""
+    (rounds ≥ the pair-graph diameter) + the keep-self default.
+
+    ``cc_rounds`` defaults to the ENGINE's connected-components iteration cap
+    (components.connected_components max_iterations=50): near-dup clusters
+    are usually near-cliques that settle in a handful of rounds, but a
+    chain-shaped pair graph with diameter > rounds would silently break
+    engine/oracle parity even with both sides individually correct — so the
+    oracle floods at least as deep as the engine can converge. Each extra
+    round is one tiny join over the (near-dup-only) pair graph."""
     from trianglecounting_spark.operators.components import cc_minlabel_unrolled_sql
 
     pair_edges = (

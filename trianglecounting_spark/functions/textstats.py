@@ -248,3 +248,121 @@ WITH t AS MATERIALIZED (
          CAST(substr(sel, 10, 10) AS BIGINT) AS fp_pos
 FROM win WHERE pos <= lt - {k} + 1 - {w - 1} ORDER BY doc_id, fp_pos
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Corpus repetition statistics (the C4 / RefinedWeb "repetition" filters):
+# fraction of duplicated word n-grams per document, and the corpus-wide most
+# duplicated n-grams. The per-doc form is the standard pre-training quality
+# gate; the corpus form is the boilerplate detector (navigation strings,
+# cookie banners) that upstream crawl cleaning feeds on.
+# ---------------------------------------------------------------------------
+
+def _word_ngrams(n: int):
+    """Column factory: lowercase word tokens → array of space-joined word
+    n-grams (empty when the document has fewer than ``n`` tokens — the
+    Spark ``sequence(1, 0)`` default step would otherwise DESCEND)."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return grams
+
+
+def ngram_dup_ratio(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document duplicated word-n-gram ratio: the fraction of n-gram
+    occurrences whose n-gram appears more than once IN THE SAME document,
+    i.e. ``(total − distinct) / total`` (0.0 when the doc has < n words).
+
+    Entirely per-row Column expressions — tokenize, build the n-gram array,
+    count distinct inside the array. No explode, no shuffle, no Python: at
+    100 TB this runs as a narrow map over the document scan, the cheapest
+    possible shape for a corpus-wide quality pass.
+
+    Output: ``(doc_id, n_ngrams: long, n_distinct: long, dup_ratio)``
+    (ratio rounded to 6 digits for oracle parity).
+    """
+    # hoisted projection: interpreted Project (higher-order fns are not
+    # codegen'd) does no CSE — inlining `grams` would re-tokenize per column
+    g = docs.select("doc_id", _word_ngrams(n).alias("__grams"))
+    total = F.size("__grams").cast("long")
+    distinct = F.size(F.array_distinct("__grams")).cast("long")
+    return g.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        F.round(
+            (total - distinct) / F.greatest(total, F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+
+
+def ngram_dup_ratio_sql(n: int = 3) -> str:
+    """DuckDB twin of ``ngram_dup_ratio`` — same tokens, same n-gram join,
+    same (total − distinct)/total arithmetic."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), g AS (
+  SELECT doc_id, list_transform(
+           generate_series(1, greatest(len(toks) - {n} + 1, 0)),
+           i -> array_to_string(toks[i:i+{n - 1}], ' ')) AS grams
+  FROM t
+)
+SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
+  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+  round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+        / greatest(len(grams), 1), 6) AS dup_ratio
+FROM g ORDER BY doc_id
+""".strip()
+
+
+def ngram_top_dups(docs: DataFrame, n: int = 3, top: int = 20,
+                   salts: int = 32) -> DataFrame:
+    """Corpus-level most-duplicated word n-grams: explode every document's
+    n-grams, count occurrences corpus-wide, keep n-grams seen more than once,
+    return the ``top`` by count (ties broken by n-gram text — deterministic).
+
+    The count goes through ``skew.salted_count``: boilerplate n-grams
+    ("click here to", cookie-banner phrases) are exactly the hot keys a
+    single-reducer groupBy would bottleneck on at crawl scale — the salted
+    two-stage aggregate spreads each hot n-gram over ``salts`` partial
+    reducers before the tiny final merge.
+
+    Output: ``(ngram: string, cnt: long)``.
+    """
+    from trianglecounting_spark.operators.skew import salted_count
+
+    occurrences = docs.select(
+        F.explode(_word_ngrams(n)).alias("ngram")
+    )
+    counts = salted_count(occurrences, "ngram", salts=salts)
+    return (
+        counts.where(F.col("cnt") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(top)
+    )
+
+
+def ngram_top_dups_sql(n: int = 3, top: int = 20) -> str:
+    """DuckDB twin of ``ngram_top_dups`` (a plain group-count — the salting
+    is a physical-plan choice with no semantic footprint)."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), g AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(toks) - {n} + 1, 0)),
+           i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS ngram
+  FROM t
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g
+GROUP BY ngram HAVING count(*) > 1
+ORDER BY cnt DESC, ngram ASC LIMIT {top}
+""".strip()

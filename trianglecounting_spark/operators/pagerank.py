@@ -187,6 +187,10 @@ def pagerank_directed(
     prev_ids: set[int] = set()
     with scoped_shuffle_partitions(spark, n_part):
         for k in range(1, iterations + 1):
+            # the dangling scalar reads rank_{k-1}, which the end of the
+            # previous iteration materialized (tracked_checkpoint below) —
+            # this collect scans |dangling| in-memory rows, it never replays
+            # the join-agg chain (the round-3 lineage-replay defect)
             d_mass = (
                 ranks.join(dangling_verts, "v")
                 .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("m"))
@@ -207,10 +211,14 @@ def pagerank_directed(
                     * (F.coalesce(F.col("mass"), F.lit(0.0)) + F.lit(d_mass / n))
                 ).alias("score"),
             )
-            if k % 5 == 0 or k == iterations:
-                ranks, new_ids = tracked_checkpoint(ranks)
-                release_ids(spark, prev_ids)
-                prev_ids = new_ids
+            # checkpoint EVERY iteration: the per-iteration scalar action
+            # forces a job regardless, so letting that job also materialize
+            # the state keeps every action exactly one iteration deep (the
+            # alternative — checkpoint every 5 — made each d_mass collect
+            # replay up to 5 iterations of un-materialized joins)
+            ranks, new_ids = tracked_checkpoint(ranks)
+            release_ids(spark, prev_ids)
+            prev_ids = new_ids
     ed.unpersist()
     return ranks
 
@@ -342,6 +350,8 @@ def personalized_pagerank(
     prev_ids: set[int] = set()
     with scoped_shuffle_partitions(spark, n_part):
         for k in range(1, iterations + 1):
+            # rank_{k-1} is materialized (end of previous iteration), so the
+            # dangling scalar is an in-memory scan, not a lineage replay
             d_mass = (
                 ranks.join(dangling_verts, "v")
                 .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("m"))
@@ -363,10 +373,12 @@ def personalized_pagerank(
                        + F.lit(d_mass) * tele)
                 ).alias("score"),
             )
-            if k % 5 == 0 or k == iterations:
-                ranks, new_ids = tracked_checkpoint(ranks)
-                release_ids(spark, prev_ids)
-                prev_ids = new_ids
+            # checkpoint every iteration — see pagerank_directed: the
+            # per-step scalar already forces a job, so materializing here
+            # keeps every action one iteration deep
+            ranks, new_ids = tracked_checkpoint(ranks)
+            release_ids(spark, prev_ids)
+            prev_ids = new_ids
     ed.unpersist()
     return ranks
 
@@ -439,32 +451,45 @@ def hits(directed_edges: DataFrame, iterations: int = 10) -> DataFrame:
     ed.count()
     hubs = verts.select("v", (F.lit(1.0) / n).alias("hub"))
     auths = verts.select("v", F.lit(0.0).alias("authority"))
+
+    def _norm_total(t: float | None) -> float:
+        # an exact-0.0 total (degenerate all-zero round) gets the same
+        # treatment as the empty aggregate, and the SQL twin's
+        # coalesce(nullif(sum, 0), 1.0) matches it — a bare `or 1.0` would
+        # be identical here, but spelling the zero case out keeps the
+        # engine/oracle contract explicit
+        return 1.0 if t is None or t == 0.0 else float(t)
+
     prev_ids: set[int] = set()
     with scoped_shuffle_partitions(spark, n_part):
         for k in range(1, iterations + 1):
-            a_raw = (
+            # materialize each half-step's aggregate BEFORE taking its
+            # normalization scalar: the scalar then scans |V| in-memory rows
+            # and every downstream plan is at most two joins deep — no action
+            # ever replays a previous iteration's lineage
+            a_raw, a_ids = tracked_checkpoint(
                 ed.join(hubs.withColumnRenamed("v", "src"), "src")
                 .groupBy(F.col("dst").alias("v"))
                 .agg(F.sum("hub").alias("a"))
             )
-            a_tot = a_raw.agg(F.sum("a")).collect()[0][0] or 1.0
+            a_tot = _norm_total(a_raw.agg(F.sum("a")).collect()[0][0])
             auths = verts.join(a_raw, "v", "left").select(
                 "v", (F.coalesce(F.col("a"), F.lit(0.0)) / F.lit(a_tot)).alias("authority")
             )
-            h_raw = (
+            h_raw, h_ids = tracked_checkpoint(
                 ed.join(auths.withColumnRenamed("v", "dst"), "dst")
                 .groupBy(F.col("src").alias("v"))
                 .agg(F.sum("authority").alias("h"))
             )
-            h_tot = h_raw.agg(F.sum("h")).collect()[0][0] or 1.0
+            h_tot = _norm_total(h_raw.agg(F.sum("h")).collect()[0][0])
             hubs = verts.join(h_raw, "v", "left").select(
                 "v", (F.coalesce(F.col("h"), F.lit(0.0)) / F.lit(h_tot)).alias("hub")
             )
-            if k % 5 == 0 or k == iterations:
-                hubs, hub_ids = tracked_checkpoint(hubs)
-                auths, auth_ids = tracked_checkpoint(auths)
-                release_ids(spark, prev_ids)
-                prev_ids = hub_ids | auth_ids
+            # the previous round's raw aggregates are no longer referenced
+            # once this round's are materialized (hubs_{k}/auths_{k} read only
+            # a_raw_{k}/h_raw_{k} + verts)
+            release_ids(spark, prev_ids)
+            prev_ids = a_ids | h_ids
     ed.unpersist()
     return hubs.join(auths, "v").select("v", "hub", "authority")
 
@@ -486,7 +511,7 @@ def hits_unrolled_sql(edges_sql: str, iterations: int = 10,
             f"FROM e JOIN h{k-1} h ON h.v = e.src GROUP BY e.dst)"
         )
         parts.append(
-            f"at{k} AS MATERIALIZED (SELECT coalesce(sum(a), 1.0) AS t FROM ar{k})"
+            f"at{k} AS MATERIALIZED (SELECT coalesce(nullif(sum(a), 0), 1.0) AS t FROM ar{k})"
         )
         parts.append(
             f"a{k} AS MATERIALIZED (SELECT vv.v, "
@@ -498,7 +523,7 @@ def hits_unrolled_sql(edges_sql: str, iterations: int = 10,
             f"FROM e JOIN a{k} a ON a.v = e.dst GROUP BY e.src)"
         )
         parts.append(
-            f"ht{k} AS MATERIALIZED (SELECT coalesce(sum(h), 1.0) AS t FROM hr{k})"
+            f"ht{k} AS MATERIALIZED (SELECT coalesce(nullif(sum(h), 0), 1.0) AS t FROM hr{k})"
         )
         parts.append(
             f"h{k} AS MATERIALIZED (SELECT vv.v, "

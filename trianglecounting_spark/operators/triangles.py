@@ -796,16 +796,22 @@ def triangle_count_delta(existing: DataFrame, new_edges: DataFrame) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
-    # S2: two new edges sharing vertex x, closed by any U edge (a < b by id
-    # so each unordered B-edge pair counts once)
+    # S2: two new edges sharing vertex x, closed by any U edge (a, b) —
+    # each canonical U edge appears once, so each unordered B-edge pair
+    # {(x,a),(x,b)} counts once. Joined CLOSING-EDGE-FIRST: attach a's
+    # B-neighbors x to each U edge, then keep rows where (x, b) is also a
+    # B edge. The round-3 form built ALL B-pairs sharing x before the
+    # closure filter — O(deg_B(x)²) rows, |B|² for a star-shaped batch (a
+    # crawl frontier hitting one hub page); this form's intermediate is
+    # Σ_{(a,b)∈U} deg_B(a) — the same wedge-bounded shape as S1, so the
+    # per-batch contract stays O(|B|·avg-degree) on any batch shape.
     sym_b = undirect(b)
-    pair = (
-        sym_b.select(F.col("src").alias("x"), F.col("dst").alias("a"))
-        .join(sym_b.select(F.col("src").alias("x"), F.col("dst").alias("b")), "x")
-        .where(F.col("a") < F.col("b"))
-    )
     closing = u_all.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    s2 = pair.join(closing, ["a", "b"]).agg(F.count(F.lit(1)).alias("n"))
+    ba = sym_b.select(F.col("dst").alias("a"), F.col("src").alias("x"))
+    bb = sym_b.select(F.col("dst").alias("b"), F.col("src").alias("x"))
+    s2 = closing.join(ba, "a").join(bb, ["b", "x"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
     # S3: triangles entirely inside the batch
     s3 = triangle_count_kernel(b)

@@ -64,12 +64,18 @@ class IterationCheckpointer:
         # partial count-aggregate) — the collect moves #partitions rows, never
         # data rows; a Python per-row pass here would be the slowest part of
         # checkpointing a 10^10-row state.
-        part_rows = sorted(
-            (int(r["_pid"]), int(r["_rows"]))
+        counted = {
+            int(r["_pid"]): int(r["_rows"])
             for r in reread.groupBy(
                 F.spark_partition_id().alias("_pid")
             ).agg(F.count(F.lit(1)).alias("_rows")).collect()
-        )
+        }
+        # the JVM-side aggregate emits no row for a zero-row partition;
+        # metrics consumers expect every partition of the snapshot
+        # enumerated, so reconstruct the empty ones explicitly
+        part_rows = [
+            (i, counted.get(i, 0)) for i in range(reread.rdd.getNumPartitions())
+        ]
         metrics = {
             "iteration": k,
             "wall_ts": time.time(),

@@ -49,6 +49,9 @@ def write_graph_layout(
     """
     from trianglecounting_spark.operators.triangles import _select_hub_csr
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     spark = edges.sparkSession
     before = persistent_rdd_ids(spark)
     # share the DODG computation between the writes
@@ -58,8 +61,13 @@ def write_graph_layout(
     h_tbl = f"{prefix}_hub_csr"
     for tbl in (e_tbl, a_tbl, h_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # the manifest's row counts ride the write jobs via observe() — round 3
+    # re-counted both freshly written tables (two avoidable full-scan jobs,
+    # half the build_layout regression in BENCH_r03)
+    obs_e, obs_a = Observation("layout_edges"), Observation("layout_adjacency")
     (
-        d.write.format("parquet")
+        d.observe(obs_e, F.count(F.lit(1)).alias("rows"))
+        .write.format("parquet")
         .mode("overwrite")
         .bucketBy(buckets, "dst")
         .sortBy("dst")
@@ -67,7 +75,8 @@ def write_graph_layout(
         .saveAsTable(e_tbl)
     )
     (
-        adj.write.format("parquet")
+        adj.observe(obs_a, F.count(F.lit(1)).alias("rows"))
+        .write.format("parquet")
         .mode("overwrite")
         .bucketBy(buckets, "src")
         .sortBy("src")
@@ -106,8 +115,8 @@ def write_graph_layout(
         "bucket_keys": {e_tbl: "dst", a_tbl: "src"},
         "hub_k": hub_k,
         "rows": {
-            e_tbl: spark.table(e_tbl).count(),
-            a_tbl: spark.table(a_tbl).count(),
+            e_tbl: int(obs_e.get["rows"]),
+            a_tbl: int(obs_a.get["rows"]),
             h_tbl: int(len(flat_pdf)) if flat_pdf is not None else 0,
         },
         "written_at": time.time(),

@@ -105,6 +105,26 @@ def maintain_triangle_count(
 
     state_path = table_path.rstrip("/") + "_TRIANGLES.json"
 
+    # Same misuse guard as append_to_edge_table_stateful: a FRESH checkpoint
+    # restarts batch_id at 0, which is <= any recorded sidecar batch_id — the
+    # replay guard below would then silently skip EVERY delta while appends
+    # continue, and the maintained count would diverge from the table without
+    # an error. Resume the original checkpoint, or start from a clean table.
+    if (
+        (
+            (os.path.isdir(table_path) and os.listdir(table_path))
+            or os.path.exists(state_path)
+        )
+        and not os.path.isdir(checkpoint)
+    ):
+        raise ValueError(
+            f"maintain_triangle_count: {table_path} (or its _TRIANGLES.json "
+            f"sidecar) already exists but {checkpoint} is a fresh checkpoint — "
+            "a restarted batch_id sequence would skip deltas and silently "
+            "diverge the maintained count. Resume the original checkpoint, or "
+            "point at a clean table+sidecar."
+        )
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
