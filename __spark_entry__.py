@@ -45,6 +45,7 @@ from trianglecounting_spark.operators.components import (
     connected_components,
     cc_minlabel_unrolled_sql,
 )
+from trianglecounting_spark.operators.scc import scc, scc_reach_sql
 from trianglecounting_spark.operators.labelprop import (
     label_propagation,
     label_propagation_unrolled_sql,
@@ -148,6 +149,27 @@ def _sampled_edges(spark: SparkSession, sf_dir: str, p_inv: int = 8,
         F.lit(T._SAMPLE_M),
     )
     return e.where(F.pmod(h, F.lit(p_inv)) == 0)
+
+
+def _recip_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DIRECTED graph with web-like reciprocity for the SCC
+    query: every sampled canonical edge u→v, plus the reverse v→u for the
+    ~1/3 of edges whose hash passes (reciprocated hyperlinks). Produces a
+    bowtie — one giant SCC (~94% of vertices at sf0.01) + singleton
+    periphery — the Broder web macro-structure. Same exact-int64 hash in
+    the DuckDB twin."""
+    e = _sampled_edges(spark, sf_dir)
+    h2 = F.pmod(
+        F.pmod(F.col("u"), F.lit(T._SAMPLE_M)) * F.lit(T._SAMPLE_A)
+        + F.pmod(F.col("v"), F.lit(T._SAMPLE_M)) * F.lit(T._SAMPLE_B)
+        + F.lit(7),
+        F.lit(T._SAMPLE_M),
+    )
+    fwd = e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    back = e.where(F.pmod(h2, F.lit(3)) == 0).select(
+        F.col("v").alias("src"), F.col("u").alias("dst")
+    )
+    return fwd.unionAll(back)
 
 
 def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,6 +291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- iterative algorithms (north_star) ---
     q["connected_components"] = lambda s, d: connected_components(_edges(s, d))
+    # strongly connected components of the reciprocated directed sample —
+    # the web bowtie (giant SCC + periphery); oracle is the DEFINITIONAL
+    # recursive-closure query, so any correct algorithm matches
+    q["scc"] = lambda s, d: scc(_recip_directed_edges(s, d))
     q["pagerank"] = lambda s, d: pagerank(_edges(s, d), iterations=10).select(
         "v", F.round("score", 6).alias("score")
     )
@@ -432,6 +458,20 @@ _SAMPLED_E = (
     f"(((u % {T._SAMPLE_M}) * {T._SAMPLE_A} "
     f"+ (v % {T._SAMPLE_M}) * {T._SAMPLE_B} + 42) % {T._SAMPLE_M}) % 8 = 0"
 )
+# directed reciprocated sample (twin of `_recip_directed_edges`) as flat CTE
+# parts: spliced into scc_reach_sql's WITH RECURSIVE clause (DuckDB does not
+# resolve a nested WITH inside a recursive-with member)
+_RECIP_E_CTES = (
+    f"base AS MATERIALIZED ({g.COPART_EDGES_SQL}), "
+    f"samp AS MATERIALIZED (SELECT u, v FROM base WHERE "
+    f"(((u % {T._SAMPLE_M}) * {T._SAMPLE_A} "
+    f"+ (v % {T._SAMPLE_M}) * {T._SAMPLE_B} + 42) % {T._SAMPLE_M}) % 8 = 0), "
+    f"de AS MATERIALIZED (SELECT u AS src, v AS dst FROM samp "
+    f"UNION ALL SELECT v, u FROM samp WHERE "
+    f"(((u % {T._SAMPLE_M}) * {T._SAMPLE_A} "
+    f"+ (v % {T._SAMPLE_M}) * {T._SAMPLE_B} + 7) % {T._SAMPLE_M}) % 3 = 0)"
+)
+
 _DODG = (
     f"WITH e AS MATERIALIZED ({_E}), "
     "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
@@ -565,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
     o["triangle_count_approx"] = T.triangle_count_approx_sql(_E, p_inv=4, seed=42)
     o["winnow_fp"] = TS.winnow_sql(k=8, w=4)
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)
+    o["scc"] = scc_reach_sql(_RECIP_E_CTES)
     o["pagerank"] = pagerank_unrolled_sql(_E, iterations=10)
     o["pagerank_tol"] = pagerank_tol_unrolled_sql(_E, iterations=15, tol=1e-4)
     o["pagerank_weighted"] = pagerank_weighted_unrolled_sql(

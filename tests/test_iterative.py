@@ -295,3 +295,96 @@ def test_pagerank_weighted_reduces_to_unweighted(spark):
     skew = e.select("u", "v", (F.pmod(F.col("u") + F.col("v"), F.lit(5)) + 1).alias("w"))
     total = pagerank_weighted(skew, iterations=6).agg(F.sum("score")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_scc_hand_graph(spark):
+    """Closed-form SCC shapes: a 3-cycle, a 2-cycle reached from it, a DAG
+    tail, and an isolated-by-direction vertex — labels are SCC minima."""
+    from trianglecounting_spark.operators.scc import scc
+
+    edges = [(0, 1), (1, 2), (2, 0),      # SCC {0,1,2}
+             (2, 3), (3, 4), (4, 3),      # SCC {3,4} fed by the cycle
+             (4, 5),                       # singleton 5 (sink)
+             (6, 0)]                       # singleton 6 (source)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.label for r in scc(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+
+
+def test_scc_pure_dag_all_singletons(spark):
+    from trianglecounting_spark.operators.scc import scc
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)] + [(0, 5), (3, 9)], "src long, dst long"
+    )
+    got = {r.v: r.label for r in scc(df).collect()}
+    assert got == {i: i for i in range(11)}
+
+
+def _tarjan(edges):
+    """Reference SCC (iterative Tarjan) for the differential test."""
+    fwd = {}
+    verts = set()
+    for a, b in edges:
+        if a != b:
+            fwd.setdefault(a, set()).add(b)
+            verts.update((a, b))
+    index, low, onstk, stk, out = {}, {}, {}, [], {}
+    cnt = [0]
+    for s in sorted(verts):
+        if s in index:
+            continue
+        work = [(s, iter(sorted(fwd.get(s, ()))))]
+        index[s] = low[s] = cnt[0]
+        cnt[0] += 1
+        stk.append(s)
+        onstk[s] = True
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = cnt[0]
+                    cnt[0] += 1
+                    stk.append(w)
+                    onstk[w] = True
+                    work.append((w, iter(sorted(fwd.get(w, ())))))
+                    advanced = True
+                    break
+                elif onstk.get(w):
+                    low[v] = min(low[v], index[w])
+            if not advanced:
+                work.pop()
+                if work:
+                    low[work[-1][0]] = min(low[work[-1][0]], low[v])
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stk.pop()
+                        onstk[w] = False
+                        comp.append(w)
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        out[w] = m
+    return out
+
+
+def test_scc_differential_vs_tarjan(spark):
+    """Engine SCC == textbook Tarjan on a reciprocated R-MAT directed graph
+    (power-law, one giant SCC + periphery — the web shape the operator is
+    for)."""
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.operators.scc import scc
+
+    e = normalize_edges(g.rmat_graph(spark, scale=8, edge_factor=4))
+    directed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.where((F.col("u") * 31 + F.col("v")) % 3 == 0).select(
+            F.col("v").alias("src"), F.col("u").alias("dst")
+        )
+    )
+    rows = [(r.src, r.dst) for r in directed.collect()]
+    expected = _tarjan(rows)
+    got = {r.v: r.label for r in scc(directed).collect()}
+    assert got == expected
