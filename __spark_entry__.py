@@ -45,7 +45,12 @@ from trianglecounting_spark.operators.components import (
     connected_components,
     cc_minlabel_unrolled_sql,
 )
-from trianglecounting_spark.operators.scc import scc, scc_reach_sql
+from trianglecounting_spark.operators.scc import (
+    scc,
+    scc_reach_sql,
+    bowtie_classes,
+    bowtie_sql,
+)
 from trianglecounting_spark.operators.labelprop import (
     label_propagation,
     label_propagation_unrolled_sql,
@@ -295,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the web bowtie (giant SCC + periphery); oracle is the DEFINITIONAL
     # recursive-closure query, so any correct algorithm matches
     q["scc"] = lambda s, d: scc(_recip_directed_edges(s, d))
+    # Broder bowtie macro-structure relative to the giant SCC
+    q["bowtie"] = lambda s, d: bowtie_classes(_recip_directed_edges(s, d))
     q["pagerank"] = lambda s, d: pagerank(_edges(s, d), iterations=10).select(
         "v", F.round("score", 6).alias("score")
     )
@@ -606,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
     o["winnow_fp"] = TS.winnow_sql(k=8, w=4)
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)
     o["scc"] = scc_reach_sql(_RECIP_E_CTES)
+    o["bowtie"] = bowtie_sql(_RECIP_E_CTES)
     o["pagerank"] = pagerank_unrolled_sql(_E, iterations=10)
     o["pagerank_tol"] = pagerank_tol_unrolled_sql(_E, iterations=15, tol=1e-4)
     o["pagerank_weighted"] = pagerank_weighted_unrolled_sql(

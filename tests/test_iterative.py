@@ -388,3 +388,19 @@ def test_scc_differential_vs_tarjan(spark):
     expected = _tarjan(rows)
     got = {r.v: r.label for r in scc(directed).collect()}
     assert got == expected
+
+
+def test_bowtie_hand_graph(spark):
+    """Known bowtie: core = the largest SCC, 'in' feeds it, 'out' drains it,
+    disconnected pieces are 'other'."""
+    from trianglecounting_spark.operators.scc import bowtie_classes
+
+    edges = [(0, 1), (1, 2), (2, 0),      # giant SCC {0,1,2} = core
+             (2, 3), (3, 4), (4, 3),      # SCC {3,4} downstream -> out
+             (4, 5),                       # 5 downstream -> out
+             (6, 0),                       # 6 reaches core -> in
+             (7, 8)]                       # disconnected -> other
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.cls for r in bowtie_classes(df).collect()}
+    assert got == {0: "core", 1: "core", 2: "core", 3: "out", 4: "out",
+                   5: "out", 6: "in", 7: "other", 8: "other"}

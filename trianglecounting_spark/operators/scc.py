@@ -41,7 +41,6 @@ min) rather than a mirror of the algorithm.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from trianglecounting_spark.plans.cache import release_ids, tracked_checkpoint
 from trianglecounting_spark.plans.tuning import (
@@ -83,6 +82,49 @@ def scc(
 
     with scoped_shuffle_partitions(spark, n_part):
         for _round in range(1, max_rounds + 1):
+            # TRIM (the FW-BW-Trim prepass): a vertex with no incoming or no
+            # outgoing active edge is its own SCC — peel such layers
+            # iteratively before paying for a coloring round. This is what
+            # makes the DAG periphery (IN/OUT tendrils, chains) cost one
+            # cheap join per layer instead of one full color+containment
+            # round per nesting level.
+            for _ in range(max_inner):
+                ea_t = (
+                    e_all.join(
+                        active.withColumnRenamed("v", "src"), "src", "left_semi"
+                    )
+                    .join(active.withColumnRenamed("v", "dst"), "dst", "left_semi")
+                )
+                trivial, triv_ids = tracked_checkpoint(
+                    active.join(
+                        ea_t.select(F.col("dst").alias("v")).distinct(),
+                        "v",
+                        "left_anti",
+                    ).unionAll(
+                        active.join(
+                            ea_t.select(F.col("src").alias("v")).distinct(),
+                            "v",
+                            "left_anti",
+                        )
+                    ).dropDuplicates(["v"])
+                )
+                n_triv = trivial.count()
+                if n_triv == 0:
+                    release_ids(spark, triv_ids)
+                    break
+                new_assigned, na_ids = tracked_checkpoint(
+                    assigned.unionAll(trivial.select("v", F.col("v").alias("label")))
+                )
+                remaining, rem_ids = tracked_checkpoint(
+                    active.join(trivial, "v", "left_anti")
+                )
+                release_ids(spark, assigned_ids | active_ids | triv_ids)
+                assigned, assigned_ids = new_assigned, na_ids
+                active, active_ids = remaining, rem_ids
+            if active.count() == 0:
+                release_ids(spark, active_ids | e_ids | verts_ids)
+                return assigned
+
             # restrict edges to the still-active vertex set (both endpoints)
             ea, ea_ids = tracked_checkpoint(
                 e_all.join(active.withColumnRenamed("v", "src"), "src", "left_semi")
@@ -220,4 +262,123 @@ def scc_reach_sql(edge_ctes: str) -> str:
         "FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a) "
         "SELECT vv.v, CAST(least(vv.v, coalesce(mu.m, vv.v)) AS BIGINT) AS label "
         "FROM verts vv LEFT JOIN mutual mu ON mu.v = vv.v ORDER BY vv.v"
+    )
+
+
+def bowtie_classes(
+    directed_edges: DataFrame,
+    max_rounds: int = 20,
+    max_inner: int = 100,
+) -> DataFrame:
+    """Broder bowtie decomposition (Broder et al., WWW'00) relative to the
+    LARGEST SCC: every vertex classified as
+
+      * ``core``  — member of the giant SCC (largest by size, ties broken
+        toward the smaller canonical label);
+      * ``in``    — reaches the core but is not in it (the crawl frontier
+        that feeds the web's center);
+      * ``out``   — reachable from the core but not in it;
+      * ``other`` — tendrils/tubes/disconnected (none of the above).
+
+    ``in`` and ``out`` are disjoint outside the core: a vertex that both
+    reaches and is reached by the core is in the core's SCC by definition.
+
+    Plan shape: one ``scc`` run, then two monotone reachability floods
+    (forward from the core = out-set, backward = in-set), each a per-round
+    join + distinct over the edge table with checkpoint-per-round — the
+    same |V|-row-state iteration envelope as BFS. Output ``(v, cls)``.
+    """
+    spark = directed_edges.sparkSession
+    labels, lab_ids = tracked_checkpoint(scc(directed_edges, max_rounds, max_inner))
+    e, e_ids = tracked_checkpoint(
+        directed_edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    top = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("label").asc())
+        .limit(1)
+        .collect()
+    )
+    giant = int(top[0]["label"])
+    core, core_ids = tracked_checkpoint(
+        labels.where(F.col("label") == giant).select("v")
+    )
+    n_part = iteration_partitions(spark, e.count())
+
+    def _flood(edge_from: str, edge_to: str) -> tuple[DataFrame, set[int]]:
+        reached, r_ids = tracked_checkpoint(core)
+        n = reached.count()
+        for _ in range(max_inner):
+            grown, g_ids = tracked_checkpoint(
+                reached.unionAll(
+                    e.join(
+                        reached.withColumnRenamed("v", edge_from), edge_from
+                    ).select(F.col(edge_to).alias("v"))
+                ).dropDuplicates(["v"])
+            )
+            m = grown.count()
+            release_ids(spark, r_ids)
+            reached, r_ids = grown, g_ids
+            if m == n:
+                return reached, r_ids
+            n = m
+        raise RuntimeError(
+            f"bowtie_classes: reachability flood did not converge in "
+            f"{max_inner} rounds — raise max_inner"
+        )
+
+    with scoped_shuffle_partitions(spark, n_part):
+        fwd_reach, fwd_ids = _flood("src", "dst")   # core ∪ out
+        bwd_reach, bwd_ids = _flood("dst", "src")   # core ∪ in
+    out = (
+        labels.select("v")
+        .join(core.withColumnRenamed("v", "cv"), F.col("v") == F.col("cv"), "left")
+        .join(fwd_reach.withColumnRenamed("v", "fv"), F.col("v") == F.col("fv"), "left")
+        .join(bwd_reach.withColumnRenamed("v", "bv"), F.col("v") == F.col("bv"), "left")
+        .select(
+            "v",
+            F.when(F.col("cv").isNotNull(), F.lit("core"))
+            .when(F.col("bv").isNotNull(), F.lit("in"))
+            .when(F.col("fv").isNotNull(), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("cls"),
+        )
+    )
+    out, _ = tracked_checkpoint(out)
+    release_ids(spark, lab_ids | e_ids | core_ids | fwd_ids | bwd_ids)
+    return out
+
+
+def bowtie_sql(edge_ctes: str) -> str:
+    """DuckDB oracle for ``bowtie_classes`` — definitional, over the same
+    recursive closure as ``scc_reach_sql`` (same ``edge_ctes`` contract:
+    flat CTE parts ending in ``de(src, dst)``)."""
+    return (
+        f"WITH RECURSIVE {edge_ctes}, "
+        "verts AS MATERIALIZED (SELECT DISTINCT x AS v FROM "
+        "(SELECT src AS x FROM de UNION ALL SELECT dst FROM de)), "
+        "r(a, b) AS (SELECT DISTINCT src, dst FROM de WHERE src <> dst "
+        "UNION SELECT r.a, de.dst FROM r JOIN de ON de.src = r.b "
+        "WHERE de.dst <> r.a), "
+        "mutual AS MATERIALIZED (SELECT r1.a AS v, min(r1.b) AS m "
+        "FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a), "
+        "lab AS MATERIALIZED (SELECT vv.v, "
+        "least(vv.v, coalesce(mu.m, vv.v)) AS label "
+        "FROM verts vv LEFT JOIN mutual mu ON mu.v = vv.v), "
+        "gs AS MATERIALIZED (SELECT label FROM "
+        "(SELECT label, count(*) AS c FROM lab GROUP BY label) "
+        "ORDER BY c DESC, label ASC LIMIT 1), "
+        "core AS MATERIALIZED (SELECT v FROM lab "
+        "WHERE label = (SELECT label FROM gs)) "
+        "SELECT vv.v, CASE "
+        "WHEN vv.v IN (SELECT v FROM core) THEN 'core' "
+        "WHEN EXISTS (SELECT 1 FROM r WHERE r.a = vv.v "
+        "AND r.b IN (SELECT v FROM core)) THEN 'in' "
+        "WHEN EXISTS (SELECT 1 FROM r WHERE r.b = vv.v "
+        "AND r.a IN (SELECT v FROM core)) THEN 'out' "
+        "ELSE 'other' END AS cls "
+        "FROM verts vv ORDER BY vv.v"
     )
