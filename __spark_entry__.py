@@ -50,6 +50,8 @@ from trianglecounting_spark.operators.scc import (
     scc_reach_sql,
     bowtie_classes,
     bowtie_sql,
+    directed_graph_stats,
+    directed_graph_stats_sql,
 )
 from trianglecounting_spark.operators.labelprop import (
     label_propagation,
@@ -302,6 +304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scc"] = lambda s, d: scc(_recip_directed_edges(s, d))
     # Broder bowtie macro-structure relative to the giant SCC
     q["bowtie"] = lambda s, d: bowtie_classes(_recip_directed_edges(s, d))
+    # one-row directed profile incl. reciprocity (~1/3 by construction)
+    q["directed_stats"] = lambda s, d: directed_graph_stats(_recip_directed_edges(s, d))
     q["pagerank"] = lambda s, d: pagerank(_edges(s, d), iterations=10).select(
         "v", F.round("score", 6).alias("score")
     )
@@ -614,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
     o["connected_components"] = cc_minlabel_unrolled_sql(_E, rounds=25)
     o["scc"] = scc_reach_sql(_RECIP_E_CTES)
     o["bowtie"] = bowtie_sql(_RECIP_E_CTES)
+    o["directed_stats"] = directed_graph_stats_sql(_RECIP_E_CTES)
     o["pagerank"] = pagerank_unrolled_sql(_E, iterations=10)
     o["pagerank_tol"] = pagerank_tol_unrolled_sql(_E, iterations=15, tol=1e-4)
     o["pagerank_weighted"] = pagerank_weighted_unrolled_sql(

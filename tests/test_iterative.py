@@ -404,3 +404,16 @@ def test_bowtie_hand_graph(spark):
     got = {r.v: r.cls for r in bowtie_classes(df).collect()}
     assert got == {0: "core", 1: "core", 2: "core", 3: "out", 4: "out",
                    5: "out", 6: "in", 7: "other", 8: "other"}
+
+
+def test_directed_graph_stats_hand_values(spark):
+    from trianglecounting_spark.operators.scc import directed_graph_stats
+
+    edges = [(0, 1), (1, 0),              # reciprocal pair (2 edges)
+             (1, 2), (2, 3), (3, 3),      # self-loop dropped
+             (0, 2), (0, 2)]              # duplicate dropped
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = directed_graph_stats(df).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_reciprocal) == (4, 5, 2)
+    assert r.reciprocity == 0.4
+    assert (r.max_out_deg, r.max_in_deg) == (2, 2)

@@ -382,3 +382,76 @@ def bowtie_sql(edge_ctes: str) -> str:
         "ELSE 'other' END AS cls "
         "FROM verts vv ORDER BY vv.v"
     )
+
+
+def directed_graph_stats(directed_edges: DataFrame) -> DataFrame:
+    """One-row profile of a DIRECTED edge table — the directed companion of
+    ``normalize.graph_stats``: vertex/edge counts, max in/out degree, and
+    **reciprocity** (fraction of directed edges whose reverse also exists —
+    the standard web/social directed-graph statistic; ~1/3 by construction
+    on the reciprocated sample here).
+
+    Everything integer except the final ratios (rounded to 6 digits), so the
+    row is bit-identical across engines and partitionings. Two aggregate
+    shuffles plus one self-semi-join for the reciprocal count.
+
+    Output: ``(n_vertices, n_edges, n_reciprocal, reciprocity, max_in_deg,
+    max_out_deg)``.
+    """
+    e = (
+        directed_edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    recip = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_recip"))
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    base = e.agg(F.count(F.lit(1)).alias("m"))
+    nv = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .agg(F.countDistinct("v").alias("n"))
+    )
+    return (
+        base.crossJoin(recip)
+        .crossJoin(nv)
+        .crossJoin(outd.agg(F.max("d").alias("max_out")))
+        .crossJoin(ind.agg(F.max("d").alias("max_in")))
+        .select(
+            F.col("n").cast("long").alias("n_vertices"),
+            F.col("m").cast("long").alias("n_edges"),
+            F.col("n_recip").cast("long").alias("n_reciprocal"),
+            F.round(F.col("n_recip") / F.col("m"), 6).alias("reciprocity"),
+            F.col("max_in").cast("long").alias("max_in_deg"),
+            F.col("max_out").cast("long").alias("max_out_deg"),
+        )
+    )
+
+
+def directed_graph_stats_sql(edge_ctes: str) -> str:
+    """DuckDB twin of ``directed_graph_stats`` (same ``edge_ctes`` contract
+    as ``scc_reach_sql``: flat CTE parts ending in ``de(src, dst)``)."""
+    return (
+        f"WITH {edge_ctes}, "
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM de WHERE src <> dst), "
+        "rc AS MATERIALIZED (SELECT count(*) AS n_recip FROM e "
+        "WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)), "
+        "b AS MATERIALIZED (SELECT count(*) AS m FROM e), "
+        "nv AS MATERIALIZED (SELECT count(DISTINCT v) AS n FROM "
+        "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e)), "
+        "od AS MATERIALIZED (SELECT max(d) AS max_out FROM "
+        "(SELECT src, count(*) AS d FROM e GROUP BY src)), "
+        "idg AS MATERIALIZED (SELECT max(d) AS max_in FROM "
+        "(SELECT dst, count(*) AS d FROM e GROUP BY dst)) "
+        "SELECT CAST(nv.n AS BIGINT) AS n_vertices, CAST(b.m AS BIGINT) AS n_edges, "
+        "CAST(rc.n_recip AS BIGINT) AS n_reciprocal, "
+        "round(CAST(rc.n_recip AS DOUBLE) / b.m, 6) AS reciprocity, "
+        "CAST(idg.max_in AS BIGINT) AS max_in_deg, "
+        "CAST(od.max_out AS BIGINT) AS max_out_deg "
+        "FROM b, rc, nv, od, idg"
+    )
