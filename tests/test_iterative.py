@@ -417,3 +417,16 @@ def test_directed_graph_stats_hand_values(spark):
     assert (r.n_vertices, r.n_edges, r.n_reciprocal) == (4, 5, 2)
     assert r.reciprocity == 0.4
     assert (r.max_out_deg, r.max_in_deg) == (2, 2)
+
+
+def test_scc_self_loop_only_vertex_kept(spark):
+    """A vertex whose only edge is a self-loop is a singleton SCC and must
+    appear in the output (the vertex universe is taken before the self-loop
+    filter — parity with the definitional oracle)."""
+    from trianglecounting_spark.operators.scc import scc
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (5, 5)], "src long, dst long"
+    )
+    got = {r.v: r.label for r in scc(df).collect()}
+    assert got == {0: 0, 1: 0, 5: 5}

@@ -67,3 +67,17 @@ def test_cosine_topk_kernel_enforces_scale_cap(spark):
     )
     with pytest.raises(ValueError, match="small-regime"):
         sim.cosine_topk_kernel(emb, k=2, max_rows=10)
+
+
+def test_ngram_dup_ratio_stays_jvm_side_and_shuffle_free(spark):
+    """The per-doc repetition ratio is a pure narrow map: no Python eval
+    operator, no shuffle Exchange — at 100 TB it must ride the document scan
+    and nothing else."""
+    from trianglecounting_spark.plans.layout import count_shuffle_exchanges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = ts.ngram_dup_ratio(docs, n=3)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert count_shuffle_exchanges(df) == 0, plan
