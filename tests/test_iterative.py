@@ -430,3 +430,19 @@ def test_scc_self_loop_only_vertex_kept(spark):
     )
     got = {r.v: r.label for r in scc(df).collect()}
     assert got == {0: 0, 1: 0, 5: 5}
+
+
+def test_scc_long_cycle_diameter_bound(spark):
+    """A 60-cycle is one SCC with diameter 59 — the floods are
+    diameter-bound (the standard distributed-SCC contract; pointer jumping
+    was measured and rejected, see scc.py), so this exercises ~120 flood
+    rounds incl. the reliable-checkpoint lineage barriers, and must still
+    label the whole ring with its minimum at a flat per-round cost."""
+    from trianglecounting_spark.operators.scc import scc
+
+    n = 60
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    got = scc(ring, max_inner=150).groupBy("label").count().collect()
+    assert len(got) == 1 and got[0].label == 0 and got[0]["count"] == n

@@ -106,3 +106,21 @@ def tracked_checkpoint(
     own = {int(out._jdf.queryExecution().analyzed().rdd().id())}
     release_ids(spark, locally_checkpointed_ids(spark, created - own))
     return out, own
+
+
+def barrier_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """TRUE lineage barrier: reliable ``checkpoint()`` to the context's
+    checkpoint directory (files), which replaces the RDD's dependencies with
+    a CheckpointRDD — unlike ``localCheckpoint``, whose underlying RDD DAG
+    stays chained across rounds. Needed by deep iteration loops: a
+    driver-side per-job traversal walks lineage PATHS, and with k≥2
+    references per round the walk is O(k^depth) — measured as a flat
+    ~0.5 s/round until depth ~11 and then 4× per round (operators/scc.py's
+    flood, 4 refs/round). Dropping a barrier every few rounds caps the
+    walkable depth. Returns ``(df, ids)`` like ``tracked_checkpoint`` (the
+    ids are the file-backed checkpoint's persistent blocks, if any — usually
+    empty; safe to pass to release_ids)."""
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
+    out = df.checkpoint(eager=True)
+    return out, persistent_rdd_ids(spark) - before

@@ -58,4 +58,18 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Reliable-checkpoint dir for the deep-iteration lineage BARRIER
+    # (plans/cache.barrier_checkpoint): localCheckpoint leaves the underlying
+    # RDD DAG chained, and a driver-side per-job traversal walks PATHS, not
+    # nodes — with ≥2 references per iteration the walk is O(k^depth), which
+    # measurably explodes past ~12 chained rounds. A reliable checkpoint
+    # (files) is the only true truncation. On a cluster this would be a
+    # shared HDFS/object-store path.
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        )
+    return spark
