@@ -392,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (salted count — boilerplate phrases are the canonical hot keys)
     q["ngram_dup_ratio"] = lambda s, d: TS.ngram_dup_ratio(_docs(s, d), n=3)
     q["ngram_top_dups"] = lambda s, d: TS.ngram_top_dups(_docs(s, d), n=3, top=20)
+    # sparse feature extraction: per-doc top TF-IDF terms
+    q["tfidf_top_terms"] = lambda s, d: TS.tfidf_top_terms(_docs(s, d), k=5)
 
     # --- dedup ---
     def _docs_with_dups(s, d):
@@ -678,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_fingerprint"] = TS.FINGERPRINT_SQL
     o["ngram_dup_ratio"] = TS.ngram_dup_ratio_sql(n=3)
     o["ngram_top_dups"] = TS.ngram_top_dups_sql(n=3, top=20)
+    o["tfidf_top_terms"] = TS.tfidf_top_terms_sql(k=5)
 
     o["exact_dedup"] = (
         "WITH docs2 AS (SELECT doc_id, text FROM documents "

@@ -388,3 +388,26 @@ def test_ngram_top_dups_degenerate_repeated_corpus(spark):
     # the boilerplate's own 3-grams each appear exactly 200 times
     boiler_grams = {r.ngram for r in top if r.cnt == 200}
     assert "here to accept" in boiler_grams
+
+
+def test_tfidf_top_terms_hand_values(spark):
+    import math
+
+    from trianglecounting_spark.functions.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"),
+         (2, "cherry cherry cherry durian")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: apple tf=2 df=1 dominates (2·ln3); banana second
+    assert [r.term for r in by_doc[0]] == ["apple", "banana"]
+    assert by_doc[0][0].score == round(2 * math.log(3 / 1), 6)
+    # doc 2: cherry 3·ln(3/2)=1.216... beats durian 1·ln(3)=1.098...
+    assert [r.term for r in by_doc[2]] == ["cherry", "durian"]
+    assert by_doc[2][0].score == round(3 * math.log(3 / 2), 6)
+    assert all(len(v) <= 2 for v in by_doc.values())

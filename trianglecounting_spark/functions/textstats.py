@@ -366,3 +366,74 @@ SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g
 GROUP BY ngram HAVING count(*) > 1
 ORDER BY cnt DESC, ngram ASC LIMIT {top}
 """.strip()
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic sparse
+    feature-extraction pass of a text pipeline.
+
+    score(term, doc) = tf · ln(N / df), with tf the in-doc term count, df
+    the number of documents containing the term, N the corpus size. Ties
+    broken deterministically by (score desc, term asc). The doc-frequency
+    aggregate and the per-doc window both shuffle on bounded keys (terms /
+    doc_id); no Python touches data. Scores are rounded to 6 digits for
+    oracle parity (both engines compute the same double ln).
+
+    Output: ``(doc_id, term, tf, df, score)``, ≤ k rows per document.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.select("doc_id").distinct().count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    """DuckDB twin of ``tfidf_top_terms`` — same tokens, same tf/df
+    aggregates, same ln-based score and (score desc, term asc) window."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tk GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         round(tf.tf * ln(CAST((SELECT n FROM nd) AS DOUBLE) / dfq.df), 6) AS score
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= {k} ORDER BY doc_id, score DESC, term
+""".strip()
