@@ -446,3 +446,11 @@ def test_scc_long_cycle_diameter_bound(spark):
     )
     got = scc(ring, max_inner=150).groupBy("label").count().collect()
     assert len(got) == 1 and got[0].label == 0 and got[0]["count"] == n
+
+
+def test_scc_and_bowtie_empty_input(spark):
+    from trianglecounting_spark.operators.scc import bowtie_classes, scc
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert scc(empty).count() == 0
+    assert bowtie_classes(empty).count() == 0

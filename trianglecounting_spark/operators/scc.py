@@ -355,6 +355,9 @@ def bowtie_classes(
         .limit(1)
         .collect()
     )
+    if not top:  # vertex-less input: no SCCs, no classes
+        release_ids(spark, lab_ids | e_ids)
+        return spark.createDataFrame([], "v long, cls string")
     giant = int(top[0]["label"])
     core, core_ids = tracked_checkpoint(
         labels.where(F.col("label") == giant).select("v")
