@@ -391,19 +391,24 @@ def test_scc_differential_vs_tarjan(spark):
 
 
 def test_bowtie_hand_graph(spark):
-    """Known bowtie: core = the largest SCC, 'in' feeds it, 'out' drains it,
-    disconnected pieces are 'other'."""
+    """Known full-taxonomy bowtie: core = the largest SCC, 'in' feeds it,
+    'out' drains it, a 'tube' bypasses IN->OUT, 'tendril's hang off one
+    side only, the rest is 'disconnected'."""
     from trianglecounting_spark.operators.scc import bowtie_classes
 
     edges = [(0, 1), (1, 2), (2, 0),      # giant SCC {0,1,2} = core
              (2, 3), (3, 4), (4, 3),      # SCC {3,4} downstream -> out
              (4, 5),                       # 5 downstream -> out
              (6, 0),                       # 6 reaches core -> in
-             (7, 8)]                       # disconnected -> other
+             (6, 7), (7, 3),               # 7: IN->OUT bypass -> tube
+             (6, 8),                       # 8 hangs off IN -> tendril
+             (9, 5),                       # 9 feeds OUT only -> tendril
+             (10, 11)]                     # disconnected pair
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.v: r.cls for r in bowtie_classes(df).collect()}
     assert got == {0: "core", 1: "core", 2: "core", 3: "out", 4: "out",
-                   5: "out", 6: "in", 7: "other", 8: "other"}
+                   5: "out", 6: "in", 7: "tube", 8: "tendril", 9: "tendril",
+                   10: "disconnected", 11: "disconnected"}
 
 
 def test_directed_graph_stats_hand_values(spark):

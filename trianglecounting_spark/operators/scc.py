@@ -323,23 +323,30 @@ def bowtie_classes(
     max_rounds: int = 20,
     max_inner: int = 100,
 ) -> DataFrame:
-    """Broder bowtie decomposition (Broder et al., WWW'00) relative to the
-    LARGEST SCC: every vertex classified as
+    """FULL Broder bowtie decomposition (Broder et al., WWW'00) relative to
+    the LARGEST SCC — the complete six-class web macro-structure taxonomy:
 
-      * ``core``  — member of the giant SCC (largest by size, ties broken
-        toward the smaller canonical label);
-      * ``in``    — reaches the core but is not in it (the crawl frontier
-        that feeds the web's center);
-      * ``out``   — reachable from the core but not in it;
-      * ``other`` — tendrils/tubes/disconnected (none of the above).
+      * ``core``         — member of the giant SCC (largest by size, ties
+        broken toward the smaller canonical label);
+      * ``in``           — reaches the core but is not in it (the crawl
+        frontier that feeds the web's center);
+      * ``out``          — reachable from the core but not in it;
+      * ``tube``         — reachable from IN and reaches OUT while touching
+        neither the core's forward nor backward cone (an IN→OUT bypass);
+      * ``tendril``      — hangs off IN (reachable from it) or feeds OUT
+        (reaches it), but not both and never the core;
+      * ``disconnected`` — none of the above.
 
-    ``in`` and ``out`` are disjoint outside the core: a vertex that both
-    reaches and is reached by the core is in the core's SCC by definition.
+    ``in``/``out`` are disjoint outside the core (mutual reachability with
+    the core IS core membership); tube/tendril vertices are by definition
+    outside both core cones, so any IN→tube path avoids the core and the
+    precedence order below is exact, not approximate.
 
-    Plan shape: one ``scc`` run, then two monotone reachability floods
-    (forward from the core = out-set, backward = in-set), each a per-round
-    join + distinct over the edge table with checkpoint-per-round — the
-    same |V|-row-state iteration envelope as BFS. Output ``(v, cls)``.
+    Plan shape: one ``scc`` run, then FOUR monotone sentinel floods
+    (forward/backward from the core, forward from the IN set, backward from
+    the OUT set), each a per-round join + aggregate over the edge table
+    with checkpoint-per-round — the same |V|-row-state iteration envelope
+    as BFS. Output ``(v, cls)``.
     """
     spark = directed_edges.sparkSession
     labels, lab_ids = tracked_checkpoint(scc(directed_edges, max_rounds, max_inner))
@@ -364,19 +371,20 @@ def bowtie_classes(
     )
     n_part = iteration_partitions(spark, e.count())
 
-    # reached-from-core via the pointer-jumped min-label flood: initialize
-    # core members to their own id and everyone else to a +∞ sentinel; after
-    # the flood, label < sentinel ⟺ some core member reaches v (sentinel
-    # labels get no jump contribution — they aren't vertex ids)
+    # seeded reachability via the min-label sentinel flood: seed members get
+    # their own id, everyone else a +∞ sentinel; after the flood,
+    # label < sentinel ⟺ some seed reaches v (along the flood direction)
     _FAR = F.lit(1 << 62)
 
-    def _reach_flood(edge_from: str, edge_to: str, what: str) -> tuple[DataFrame, set[int]]:
+    def _reach_flood(
+        seeds: DataFrame, edge_from: str, edge_to: str, what: str
+    ) -> tuple[DataFrame, set[int]]:
         init, init_ids = tracked_checkpoint(
             labels.select("v").join(
-                core.withColumnRenamed("v", "cv"), F.col("v") == F.col("cv"), "left"
+                seeds.select(F.col("v").alias("sv")), F.col("v") == F.col("sv"), "left"
             ).select(
                 "v",
-                F.when(F.col("cv").isNotNull(), F.col("v")).otherwise(_FAR).alias("label"),
+                F.when(F.col("sv").isNotNull(), F.col("v")).otherwise(_FAR).alias("label"),
             )
         )
         flooded, f_ids = _minlabel_flood(
@@ -389,31 +397,45 @@ def bowtie_classes(
         return reached, r_ids
 
     with scoped_shuffle_partitions(spark, n_part):
-        fwd_reach, fwd_ids = _reach_flood("src", "dst", "bowtie forward reach")  # core ∪ out
-        bwd_reach, bwd_ids = _reach_flood("dst", "src", "bowtie backward reach")  # core ∪ in
+        # core's forward/backward cones
+        fwd_reach, fwd_ids = _reach_flood(core, "src", "dst", "bowtie forward reach")   # core ∪ out
+        bwd_reach, bwd_ids = _reach_flood(core, "dst", "src", "bowtie backward reach")  # core ∪ in
+        in_set, in_ids = tracked_checkpoint(bwd_reach.join(core, "v", "left_anti"))
+        out_set, out_ids = tracked_checkpoint(fwd_reach.join(core, "v", "left_anti"))
+        # tendril/tube cones: reachable FROM the in-set, reaches the out-set
+        fi_reach, fi_ids = _reach_flood(in_set, "src", "dst", "bowtie from-IN reach")
+        bo_reach, bo_ids = _reach_flood(out_set, "dst", "src", "bowtie to-OUT reach")
     out = (
         labels.select("v")
         .join(core.withColumnRenamed("v", "cv"), F.col("v") == F.col("cv"), "left")
         .join(fwd_reach.withColumnRenamed("v", "fv"), F.col("v") == F.col("fv"), "left")
         .join(bwd_reach.withColumnRenamed("v", "bv"), F.col("v") == F.col("bv"), "left")
+        .join(fi_reach.withColumnRenamed("v", "iv"), F.col("v") == F.col("iv"), "left")
+        .join(bo_reach.withColumnRenamed("v", "ov"), F.col("v") == F.col("ov"), "left")
         .select(
             "v",
             F.when(F.col("cv").isNotNull(), F.lit("core"))
             .when(F.col("bv").isNotNull(), F.lit("in"))
             .when(F.col("fv").isNotNull(), F.lit("out"))
-            .otherwise(F.lit("other"))
+            .when(F.col("iv").isNotNull() & F.col("ov").isNotNull(), F.lit("tube"))
+            .when(F.col("iv").isNotNull() | F.col("ov").isNotNull(), F.lit("tendril"))
+            .otherwise(F.lit("disconnected"))
             .alias("cls"),
         )
     )
     out, _ = tracked_checkpoint(out)
-    release_ids(spark, lab_ids | e_ids | core_ids | fwd_ids | bwd_ids)
+    release_ids(
+        spark,
+        lab_ids | e_ids | core_ids | fwd_ids | bwd_ids | in_ids | out_ids
+        | fi_ids | bo_ids,
+    )
     return out
 
 
 def bowtie_sql(edge_ctes: str) -> str:
-    """DuckDB oracle for ``bowtie_classes`` — definitional, over the same
-    recursive closure as ``scc_reach_sql`` (same ``edge_ctes`` contract:
-    flat CTE parts ending in ``de(src, dst)``)."""
+    """DuckDB oracle for ``bowtie_classes`` — the full six-class taxonomy,
+    definitional over the same recursive closure as ``scc_reach_sql`` (same
+    ``edge_ctes`` contract: flat CTE parts ending in ``de(src, dst)``)."""
     return (
         f"WITH RECURSIVE {edge_ctes}, "
         "verts AS MATERIALIZED (SELECT DISTINCT x AS v FROM "
@@ -430,14 +452,30 @@ def bowtie_sql(edge_ctes: str) -> str:
         "(SELECT label, count(*) AS c FROM lab GROUP BY label) "
         "ORDER BY c DESC, label ASC LIMIT 1), "
         "core AS MATERIALIZED (SELECT v FROM lab "
-        "WHERE label = (SELECT label FROM gs)) "
+        "WHERE label = (SELECT label FROM gs)), "
+        # the core's backward/forward cones (incl. the core itself)
+        "bwd AS MATERIALIZED (SELECT vv.v FROM verts vv WHERE "
+        "vv.v IN (SELECT v FROM core) OR EXISTS (SELECT 1 FROM r "
+        "WHERE r.a = vv.v AND r.b IN (SELECT v FROM core))), "
+        "fwd AS MATERIALIZED (SELECT vv.v FROM verts vv WHERE "
+        "vv.v IN (SELECT v FROM core) OR EXISTS (SELECT 1 FROM r "
+        "WHERE r.b = vv.v AND r.a IN (SELECT v FROM core))), "
+        "inn AS MATERIALIZED (SELECT v FROM bwd WHERE v NOT IN (SELECT v FROM core)), "
+        "outt AS MATERIALIZED (SELECT v FROM fwd WHERE v NOT IN (SELECT v FROM core)), "
+        # reachable from the IN set / reaches the OUT set (incl. the sets)
+        "fi AS MATERIALIZED (SELECT vv.v FROM verts vv WHERE "
+        "vv.v IN (SELECT v FROM inn) OR EXISTS (SELECT 1 FROM r "
+        "WHERE r.b = vv.v AND r.a IN (SELECT v FROM inn))), "
+        "bo AS MATERIALIZED (SELECT vv.v FROM verts vv WHERE "
+        "vv.v IN (SELECT v FROM outt) OR EXISTS (SELECT 1 FROM r "
+        "WHERE r.a = vv.v AND r.b IN (SELECT v FROM outt))) "
         "SELECT vv.v, CASE "
         "WHEN vv.v IN (SELECT v FROM core) THEN 'core' "
-        "WHEN EXISTS (SELECT 1 FROM r WHERE r.a = vv.v "
-        "AND r.b IN (SELECT v FROM core)) THEN 'in' "
-        "WHEN EXISTS (SELECT 1 FROM r WHERE r.b = vv.v "
-        "AND r.a IN (SELECT v FROM core)) THEN 'out' "
-        "ELSE 'other' END AS cls "
+        "WHEN vv.v IN (SELECT v FROM bwd) THEN 'in' "
+        "WHEN vv.v IN (SELECT v FROM fwd) THEN 'out' "
+        "WHEN vv.v IN (SELECT v FROM fi) AND vv.v IN (SELECT v FROM bo) THEN 'tube' "
+        "WHEN vv.v IN (SELECT v FROM fi) OR vv.v IN (SELECT v FROM bo) THEN 'tendril' "
+        "ELSE 'disconnected' END AS cls "
         "FROM verts vv ORDER BY vv.v"
     )
 
