@@ -322,6 +322,7 @@ def bowtie_classes(
     directed_edges: DataFrame,
     max_rounds: int = 20,
     max_inner: int = 100,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """FULL Broder bowtie decomposition (Broder et al., WWW'00) relative to
     the LARGEST SCC — the complete six-class web macro-structure taxonomy:
@@ -349,7 +350,15 @@ def bowtie_classes(
     as BFS. Output ``(v, cls)``.
     """
     spark = directed_edges.sparkSession
-    labels, lab_ids = tracked_checkpoint(scc(directed_edges, max_rounds, max_inner))
+    # ``labels``: optionally reuse a precomputed ``scc`` result (e.g. the
+    # driver contract computes SCC labels once and feeds both queries) —
+    # must be the (v, label) output of ``scc`` on the SAME edge table
+    if labels is None:
+        labels, lab_ids = tracked_checkpoint(
+            scc(directed_edges, max_rounds, max_inner)
+        )
+    else:
+        labels, lab_ids = tracked_checkpoint(labels)
     e, e_ids = tracked_checkpoint(
         directed_edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
