@@ -32,6 +32,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+    # iterative heavyweights (SCC, fixpoint peels): tens of seconds per run at
+    # sf0.1, so they get their own (smaller) repeat count — still ≥2 so the
+    # artifact carries a [min,max] spread for them like everything else
+    heavy_repeats = max(1, int(os.environ.get("SPARK_GRAFT_HEAVY_REPEATS", "2")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
@@ -42,6 +46,9 @@ def main() -> None:
     from trianglecounting_spark.operators.pagerank import pagerank
     from trianglecounting_spark.operators.components import connected_components
     from trianglecounting_spark.operators.labelprop import label_propagation
+    from trianglecounting_spark.operators.ktruss import ktruss, ktruss_incremental
+    from trianglecounting_spark.operators.scc import scc
+    from trianglecounting_spark.operators.bfs import bfs_distances
     from trianglecounting_spark.functions import dedup as dd
     from trianglecounting_spark.functions import similarity as sim
     from trianglecounting_spark.functions import textstats as ts
@@ -135,6 +142,32 @@ def main() -> None:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
 
+    # deterministic hash-sampled subgraph + reciprocated directed variant —
+    # the same constructions the driver contract uses (avg degree ~6, so BFS
+    # and SCC actually iterate instead of finishing in two rounds)
+    def _sampled(e, p_inv=8, seed=42):
+        h = F.pmod(
+            F.pmod(F.col("u"), F.lit(t._SAMPLE_M)) * F.lit(t._SAMPLE_A)
+            + F.pmod(F.col("v"), F.lit(t._SAMPLE_M)) * F.lit(t._SAMPLE_B)
+            + F.lit(seed),
+            F.lit(t._SAMPLE_M),
+        )
+        return e.where(F.pmod(h, F.lit(p_inv)) == 0)
+
+    def _recip_directed(e):
+        s = _sampled(e)
+        h2 = F.pmod(
+            F.pmod(F.col("u"), F.lit(t._SAMPLE_M)) * F.lit(t._SAMPLE_A)
+            + F.pmod(F.col("v"), F.lit(t._SAMPLE_M)) * F.lit(t._SAMPLE_B)
+            + F.lit(7),
+            F.lit(t._SAMPLE_M),
+        )
+        fwd = s.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        back = s.where(F.pmod(h2, F.lit(3)) == 0).select(
+            F.col("v").alias("src"), F.col("u").alias("dst")
+        )
+        return fwd.unionAll(back)
+
     tri = None
     probes = None
     for r in range(repeats):
@@ -183,10 +216,24 @@ def main() -> None:
             "label_propagation_4",
             lambda: label_propagation(edges, rounds=4).agg(F.countDistinct("label")).collect(),
         )
+        timed_rep(
+            "bfs_levels",
+            lambda: bfs_distances(_sampled(edges)).agg(F.max("dist")).collect(),
+        )
         timed_rep("minhash_lsh_pairs", lambda: dd.minhash_lsh_pairs(docs).count())
         timed_rep(
             "token_quality",
             lambda: ts.quality_score(docs).agg(F.sum("n_words")).collect(),
+        )
+        timed_rep(
+            "ngram_top_dups",
+            lambda: ts.ngram_top_dups(docs, n=3, top=20).collect(),
+        )
+        timed_rep(
+            "duplicated_spans",
+            lambda: ts.duplicated_span_stats(docs, k=20, w=8)
+            .agg(F.sum("n_dup_fps"))
+            .collect(),
         )
         timed_rep("cosine_topk_kernel", lambda: sim.cosine_topk_kernel(emb, k=5).count())
         # the scale path: bucketed candidates, no driver collect, no all-pairs
@@ -195,6 +242,45 @@ def main() -> None:
             lambda: sim.ann_lsh_topk(emb, dim=64, k=5, n_planes=6, tables=2).count(),
         )
 
+    # iterative heavyweights — their own repeat count (≥2 keeps the spread)
+    for _ in range(heavy_repeats):
+        timed_rep(
+            "scc",
+            lambda: scc(_recip_directed(edges)).agg(
+                F.count_distinct("label")
+            ).collect(),
+        )
+        timed_rep(
+            "ktruss_fixpoint_k6",
+            lambda: ktruss(edges, k=6, max_iterations=30).count(),
+        )
+
+    # peel-tail regime (measured once — an A/B, not a steady-state metric):
+    # the sf0.1 core converges in a handful of big-batch rounds, where the
+    # bulk Arrow-kernel recount wins; attaching a triangle strip adds a long
+    # cascade of 2-edge removal rounds, and there the delta form's per-round
+    # cost tracks the REMOVAL NEIGHBORHOOD while the bulk form recounts the
+    # whole surviving ~1.1 M-edge core every round (round-5 probe, strip
+    # n=30: incr 46.8 s vs bulk 105.9 s, identical 1,109,228-edge output)
+    _strip_n = 20
+    _B = 1_000_000_000
+    strip = spark.createDataFrame(
+        [(_B + i, _B + i + 1) for i in range(_strip_n - 1)]
+        + [(_B + i, _B + i + 2) for i in range(_strip_n - 2)],
+        "u long, v long",
+    )
+    tail_edges = edges.unionAll(strip).localCheckpoint(eager=True)
+    protected.update(persistent_rdd_ids(spark))
+    tail_bulk = timed_once(
+        "ktruss_tail_bulk_k4",
+        lambda: ktruss(tail_edges, k=4, max_iterations=60).count(),
+    )
+    tail_incr = timed_once(
+        "ktruss_tail_incr_k4",
+        lambda: ktruss_incremental(tail_edges, k=4, max_iterations=60).count(),
+    )
+    assert tail_bulk == tail_incr, (tail_bulk, tail_incr)
+
     queries = dict(once)
     spread: dict[str, list[float]] = {}
     for name, vals in reps.items():
@@ -202,6 +288,19 @@ def main() -> None:
         spread[name] = [round(min(vals), 3), round(max(vals), 3)]
 
     total = round(sum(queries.values()), 3)
+    # round-4-comparable subtotal: the suite gained 5 new benched queries in
+    # round 5 (bfs/ngram_top_dups/duplicated_spans/scc/ktruss×2), so the
+    # headline total is not comparable to BENCH_r04's — this subtotal (over
+    # exactly the r4 key set) is
+    _R4_KEYS = {
+        "session_warmup", "build_edges", "build_layout",
+        "triangle_count_sql_parity_sf0.01", "triangle_count_kernel",
+        "triangle_count_kernel_bucketed", "triangle_per_edge_bucketed",
+        "triangle_per_edge", "pagerank_10", "connected_components",
+        "label_propagation_4", "minhash_lsh_pairs", "token_quality",
+        "cosine_topk_kernel", "ann_lsh_topk",
+    }
+    total_r4_core = round(sum(v for k, v in queries.items() if k in _R4_KEYS), 3)
     kernel_sec = max(queries["triangle_count_kernel"], 1e-9)
     print(
         json.dumps(
@@ -211,7 +310,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "spread": spread,
+                "value_r4_core": total_r4_core,
                 "repeats": repeats,
+                "heavy_repeats": heavy_repeats,
                 "sf": float(sf),
                 "cores": cores,
                 "edges": int(n_edges),

@@ -411,3 +411,83 @@ def test_tfidf_top_terms_hand_values(spark):
     assert [r.term for r in by_doc[2]] == ["cherry", "durian"]
     assert by_doc[2][0].score == round(3 * math.log(3 / 2), 6)
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_duplicated_spans_boilerplate_detection(spark):
+    """Substring dedup (Lee et al. 2022 style): the shared boilerplate
+    sentence is detected in every carrier doc; the unique doc reports zero
+    duplicated fingerprints; positions fall inside the boilerplate region."""
+    from trianglecounting_spark.functions.textstats import (
+        duplicated_span_stats,
+        duplicated_spans,
+    )
+
+    boiler = "subscribe to our newsletter and accept all cookies to continue reading this site"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail alpha bravo charlie delta echo foxtrot"),
+            (2, "some original head text here " + boiler),
+            (3, "entirely original content with no repeated sentences at all xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 20, 8
+    stats = {r.doc_id: r for r in duplicated_span_stats(docs, k=k, w=w).collect()}
+    assert stats[1].n_dup_fps > 0 and stats[2].n_dup_fps > 0
+    assert stats[3].n_dup_fps == 0 and stats[3].dup_span_ratio == 0.0
+    assert 0 < stats[1].dup_span_ratio < 1.0
+    # every duplicated position in doc 2 must lie inside the boilerplate span
+    # (1-based normalized positions; boiler starts at len(head)+1)
+    head = "some original head text here "
+    spans2 = [r.fp_pos for r in duplicated_spans(docs, k=k, w=w).collect() if r.doc_id == 2]
+    assert spans2, "carrier doc must surface duplicated spans"
+    for pos in spans2:
+        assert len(head) + 1 <= pos <= len(head) + len(boiler) - k + 1
+
+
+def test_mask_duplicated_spans_merges_intervals(spark):
+    """The masking plan merges overlapping/adjacent duplicated-fingerprint
+    intervals into maximal spans covering the shared region."""
+    from trianglecounting_spark.functions.textstats import mask_duplicated_spans
+
+    boiler = "this exact legal disclaimer paragraph appears verbatim on every single page of the site"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler),
+            (2, boiler),
+            (3, "totally different words that never repeat anywhere else zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 20, 8
+    out = {}
+    for r in mask_duplicated_spans(docs, k=k, w=w).collect():
+        out.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert 3 not in out
+    for d in (1, 2):
+        ivs = sorted(out[d])
+        # intervals are disjoint and non-adjacent after merging
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1 + 1
+        # identical docs: the merged mask covers the winnow-guaranteed core
+        # (every position selected by some window is inside the doc)
+        assert ivs[0][0] >= 1 and ivs[-1][1] <= len(boiler)
+        assert sum(e - s + 1 for s, e in ivs) >= len(boiler) // 2
+    assert out[1] == out[2]
+
+
+def test_duplicated_spans_hot_fp_skew(spark):
+    """Boilerplate present in EVERY doc — the hottest possible fingerprint
+    key — still aggregates correctly (the doc-distinct projection bounds the
+    group, the count is map-side combined)."""
+    from trianglecounting_spark.functions.textstats import duplicated_span_stats
+
+    boiler = "identical cookie banner text shared across the whole crawl every page"
+    rows = [(i, f"page {i} head words " + boiler) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    stats = duplicated_span_stats(docs, k=20, w=8).collect()
+    assert len(stats) == 200
+    assert all(r.n_dup_fps > 0 for r in stats)
+    # partitioning-invariance of the whole aggregate
+    again = duplicated_span_stats(docs.repartition(3), k=20, w=8).collect()
+    assert sorted(map(tuple, stats)) == sorted(map(tuple, again))

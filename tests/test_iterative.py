@@ -15,6 +15,8 @@ from trianglecounting_spark.operators.pagerank import pagerank
 from trianglecounting_spark.plans.checkpoint import IterationCheckpointer
 from trianglecounting_spark.sources import generators as g
 
+from tests.conftest import SF_SMALL
+
 
 def test_pagerank_uniform_on_regular_graph(spark):
     """On a vertex-transitive graph (cycle), PageRank is exactly uniform."""
@@ -459,3 +461,65 @@ def test_scc_and_bowtie_empty_input(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert scc(empty).count() == 0
     assert bowtie_classes(empty).count() == 0
+
+
+def test_ktruss_incremental_matches_bulk_hand_graphs(spark):
+    """Delta-support peel == bulk-recount peel on hand graphs covering:
+    one-round removal (bridge), whole-triangle loss in a single batch (all 3
+    edges under-supported at once — the exactly-once distinct path), and a
+    multi-round cascading peel (triangle strip, where each round's removals
+    decrement the next interior edges)."""
+    from trianglecounting_spark.operators.ktruss import ktruss_incremental
+
+    inf = float("inf")  # forces PURE delta maintenance from round 1
+    e = g.two_cliques_bridge(spark)
+    for k in (4, 6, 7):
+        bulk = sorted((r.u, r.v) for r in ktruss(e, k).collect())
+        for frac in (0.05, inf):
+            incr = sorted(
+                (r.u, r.v)
+                for r in ktruss_incremental(e, k, delta_frac=frac).collect()
+            )
+            assert incr == bulk, f"k={k} frac={frac}"
+
+    # triangle strip 0-1-2, 1-2-3, ..., edges (i,i+1) and (i,i+2): ends have
+    # support 1, interiors 2 — k=4 peels from both ends inward, many rounds
+    # of SMALL batches (the delta form's cascading-decrement regime)
+    n = 12
+    strip = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(i, i + 2) for i in range(n - 2)],
+        "u long, v long",
+    )
+    bulk = sorted((r.u, r.v) for r in ktruss(strip, 4).collect())
+    incr = sorted(
+        (r.u, r.v) for r in ktruss_incremental(strip, 4, delta_frac=inf).collect()
+    )
+    assert incr == bulk == []  # the whole strip cascades away
+
+    # single triangle, k=4: all 3 edges removed in ONE batch — the lost
+    # triangle must be counted once, not three times
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "u long, v long")
+    assert ktruss_incremental(tri, 4, delta_frac=inf).count() == 0
+    assert sorted(
+        (r.u, r.v) for r in ktruss_incremental(tri, 3, delta_frac=inf).collect()
+    ) == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_ktruss_incremental_matches_bulk_real_graph(spark):
+    """Differential on the sf0.001 sampled subgraph at the contract k."""
+    import __spark_entry__ as entry
+    from trianglecounting_spark.operators.ktruss import ktruss_incremental
+
+    e = entry._sampled_edges(spark, SF_SMALL)
+    for k, frac in ((4, float("inf")), (5, 0.05)):
+        # k=4 forces pure delta maintenance end-to-end; k=5 runs the
+        # production adaptive switch (bulk while batches are big, delta tail)
+        bulk = sorted((r.u, r.v) for r in ktruss(e, k, max_iterations=30).collect())
+        incr = sorted(
+            (r.u, r.v)
+            for r in ktruss_incremental(
+                e, k, max_iterations=30, delta_frac=frac
+            ).collect()
+        )
+        assert incr == bulk, f"k={k}"
+        assert len(bulk) > 0

@@ -3,7 +3,11 @@
 Runs every oracle_sql() in DuckDB first (captures results), then every
 queries() entry in Spark, and compares row-count + column-name-sorted,
 order-insensitive values. Usage:
-    python tools/check_contract.py [sf_dir] [only_query ...]
+    python tools/check_contract.py [--all] [sf_dir] [only_query ...]
+
+--all additionally runs the extra_queries()/extra_oracle_sql() registry (the
+redundant-parity lanes kept out of the driver's 50-row-capped contract);
+naming an extra query explicitly also pulls it in without --all.
 """
 
 from __future__ import annotations
@@ -35,8 +39,10 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--all"]
+    include_all = "--all" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -44,6 +50,10 @@ def main():
 
     oracles = entrymod.oracle_sql()
     qs = entrymod.queries()
+    extra_q, extra_o = entrymod.extra_queries(), entrymod.extra_oracle_sql()
+    if include_all or (only & set(extra_q)):
+        qs = {**qs, **{k: v for k, v in extra_q.items() if include_all or k in only}}
+        oracles = {**oracles, **{k: v for k, v in extra_o.items() if include_all or k in only}}
 
     con = duckdb.connect()
     for t in TABLES:

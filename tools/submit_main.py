@@ -39,7 +39,7 @@ def main() -> None:
 
     import __spark_entry__ as contract
 
-    qs = contract.queries()
+    qs = {**contract.queries(), **contract.extra_queries()}
     if args.list or not args.query:
         print("\n".join(sorted(qs)))
         return

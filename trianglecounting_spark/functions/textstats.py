@@ -393,13 +393,15 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    n_docs = docs.select("doc_id").distinct().count()
-    scored = tf.join(df_, "term").select(
+    # corpus size rides the plan as a broadcast 1-row aggregate — no separate
+    # driver-side count() action per call
+    nd = docs.select(F.count_distinct("doc_id").cast("double").alias("__n_docs"))
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(nd)).select(
         "doc_id",
         "term",
         "tf",
         "df",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+        F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6).alias(
             "score"
         ),
     )
@@ -437,3 +439,130 @@ SELECT doc_id, term, tf, df, score FROM (
   FROM scored
 ) WHERE rk <= {k} ORDER BY doc_id, score DESC, term
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated SPANS (substring-level dedup, Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): document-level
+# dedup (exact/MinHash/SimHash/embedding, functions/dedup.py) misses the long
+# boilerplate span repeated inside otherwise-distinct pages. Candidate
+# generation is the winnowing fingerprint set already computed above — the
+# SIGMOD'03 guarantee means any shared span of length >= w+k-1 shares at
+# least one selected fingerprint, so fingerprint collisions across documents
+# are a complete detector at that threshold (the suffix-array exactness of
+# the paper traded for a distributable, oracle-expressible candidate set).
+# ---------------------------------------------------------------------------
+
+def duplicated_spans(
+    docs: DataFrame, k: int = 8, w: int = 4, min_docs: int = 2
+) -> DataFrame:
+    """Winnowed fingerprint positions whose fingerprint occurs in at least
+    ``min_docs`` DISTINCT documents — the per-position duplicated-span
+    markers. Output ``(doc_id, fp, fp_pos)``.
+
+    Scale: the doc-distinct projection bounds every ``fp`` group to at most
+    n_docs rows before the count, and the count itself is a map-side-combined
+    groupBy — a boilerplate fingerprint present in every document costs one
+    partial count per partition, never a hot-key row pileup. The final
+    membership join is a semi join on ``fp`` (well-spread md5 prefixes)."""
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    docfp = fps.select("doc_id", "fp").distinct()
+    dup = (
+        docfp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("fp")
+    )
+    return fps.join(dup, "fp", "left_semi").select("doc_id", "fp", "fp_pos")
+
+
+def duplicated_span_stats(
+    docs: DataFrame, k: int = 8, w: int = 4, min_docs: int = 2
+) -> DataFrame:
+    """Per-document substring-dedup profile: how much of each document's
+    fingerprint set is shared with other documents. Output
+    ``(doc_id, n_fps, n_dup_fps, dup_span_ratio)`` over every document with
+    at least one fingerprint (length >= k after normalization); the ratio is
+    the standard removal-priority signal (rounded to 6 digits for oracle
+    parity)."""
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    docfp = fps.select("doc_id", "fp").distinct()
+    dup = (
+        docfp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    marked = fps.join(dup, "fp", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.count("is_dup").cast("long").alias("n_dup_fps"),
+        )
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_dup_fps",
+            F.round(F.col("n_dup_fps") / F.col("n_fps"), 6).alias("dup_span_ratio"),
+        )
+    )
+
+
+def duplicated_span_stats_sql(k: int = 8, w: int = 4, min_docs: int = 2) -> str:
+    """DuckDB twin of ``duplicated_span_stats`` — reuses the winnow SQL as
+    the candidate CTE, then the same distinct-doc count + threshold + per-doc
+    aggregate."""
+    return (
+        f"WITH wf AS MATERIALIZED ({winnow_sql(k=k, w=w)}), "
+        "docfp AS (SELECT DISTINCT doc_id, fp FROM wf), "
+        f"dup AS (SELECT fp FROM docfp GROUP BY fp HAVING count(*) >= {min_docs}) "
+        "SELECT wf.doc_id, CAST(count(*) AS BIGINT) AS n_fps, "
+        "CAST(count(d.fp) AS BIGINT) AS n_dup_fps, "
+        "round(CAST(count(d.fp) AS DOUBLE) / count(*), 6) AS dup_span_ratio "
+        "FROM wf LEFT JOIN dup d ON d.fp = wf.fp GROUP BY wf.doc_id"
+    )
+
+
+def mask_duplicated_spans(
+    docs: DataFrame, k: int = 8, w: int = 4, min_docs: int = 2
+) -> DataFrame:
+    """Merged character intervals to cut from each document: every duplicated
+    fingerprint at ``fp_pos`` covers positions ``[fp_pos, fp_pos + k - 1]``
+    (1-based, inclusive) of the NORMALIZED text; overlapping or adjacent
+    intervals merge via the classic prefix-max sweep. Output
+    ``(doc_id, span_start, span_end)`` — the removal plan a masking rewrite
+    consumes.
+
+    Scale: both window functions partition by ``doc_id`` — per-document work
+    only, bounded by document length like the winnowing pass itself."""
+    from pyspark.sql import Window
+
+    spans = duplicated_spans(docs, k=k, w=w, min_docs=min_docs).select(
+        "doc_id",
+        F.col("fp_pos").alias("start"),
+        (F.col("fp_pos") + k - 1).alias("end"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max_end = F.max("end").over(win.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = spans.select(
+        "doc_id",
+        "start",
+        "end",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end + 1), 1
+        ).otherwise(0).alias("is_new"),
+    ).select(
+        "doc_id",
+        "start",
+        "end",
+        F.sum("is_new").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("grp"),
+    )
+    return (
+        grouped.groupBy("doc_id", "grp")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )

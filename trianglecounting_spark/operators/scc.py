@@ -217,13 +217,16 @@ def scc(
                 .repartition(n_part, "src")
             )
 
-            # 1. forward min-label flood WITH pointer-jumping: color(v) =
-            #    min(v, colors of in-neighbors, color(color(v))). The label
-            #    composition is sound (if l reaches v and l' reaches l then
-            #    l' reaches v — labels are always active vertex ids, so the
-            #    self-join is total) and turns the flood's O(diameter)
-            #    convergence into O(log diameter) — a 10^4-cycle SCC costs
-            #    ~16 rounds instead of tripping the max_inner guard. Every
+            # 1. forward min-label flood: color(v) = min(v, colors of
+            #    in-neighbors), iterated to fixpoint. Convergence is
+            #    O(diameter of the flooded subgraph) — the standard bound
+            #    for distributed reachability, and single-digit rounds on
+            #    web-graph SCCs. Pointer-jumping was measured and REJECTED
+            #    (see _minlabel_flood's docstring): the label self-join
+            #    triggers a driver-side geometric slowdown past ~12 chained
+            #    rounds and cannot speed the adversarial direction anyway.
+            #    ``max_inner`` guards pathological deep cycles (a cycle
+            #    longer than max_inner raises rather than looping). Every
             #    state is materialized before the changed-count action, so
             #    no action replays a previous inner round.
             color, color_ids = tracked_checkpoint(
@@ -237,7 +240,7 @@ def scc(
             # 2. backward containment over same-color edges (crossing a
             #    color boundary cannot lead back to the root): bcolor(v) =
             #    min id v REACHES within its color class, computed as the
-            #    same pointer-jumped min-label flood over the REVERSED
+            #    same diameter-bound min-label flood over the REVERSED
             #    same-color edges. Class ids are all ≥ the root, so
             #    v ∈ SCC(root) ⟺ bcolor(v) == its forward color.
             ec, ec_ids = tracked_checkpoint(

@@ -67,9 +67,17 @@ def get_spark(
     # (files) is the only true truncation. On a cluster this would be a
     # shared HDFS/object-store path.
     if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import atexit
+        import shutil
         import tempfile
 
-        spark.sparkContext.setCheckpointDir(
-            tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-        )
+        ckpt_dir = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+        # barrier_checkpoint files are never GC'd by Spark by default
+        # (spark.cleaner.referenceTracking.cleanCheckpoints=false), so a
+        # long-running session with deep floods would accumulate them
+        # unboundedly — reap the whole session dir on interpreter exit. On a
+        # cluster the shared checkpoint path gets the same treatment from the
+        # job scheduler's workspace reaper.
+        atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
     return spark

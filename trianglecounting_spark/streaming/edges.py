@@ -27,6 +27,20 @@ def stream_raw_edges(spark: SparkSession, path: str, schema: str = "src long, ds
     return spark.readStream.schema(schema).parquet(path)
 
 
+def _is_resumable_checkpoint(checkpoint: str) -> bool:
+    """True only if ``checkpoint`` holds actual Structured Streaming state —
+    an ``offsets/`` dir with at least one entry, or a ``metadata`` file. A
+    merely-existing empty directory (pre-created by ``mkdir -p`` or tooling)
+    is FRESH: the query would restart batch_id at 0, so the misuse guards
+    below must treat it exactly like a nonexistent path."""
+    import os
+
+    offsets = os.path.join(checkpoint, "offsets")
+    if os.path.isdir(offsets) and os.listdir(offsets):
+        return True
+    return os.path.exists(os.path.join(checkpoint, "metadata"))
+
+
 def normalize_stream(raw: DataFrame) -> DataFrame:
     """Same canonicalization as operators.normalize.normalize_edges, streaming:
     projection + self-loop filter are stateless; duplicate suppression is
@@ -115,7 +129,7 @@ def maintain_triangle_count(
             (os.path.isdir(table_path) and os.listdir(table_path))
             or os.path.exists(state_path)
         )
-        and not os.path.isdir(checkpoint)
+        and not _is_resumable_checkpoint(checkpoint)
     ):
         raise ValueError(
             f"maintain_triangle_count: {table_path} (or its _TRIANGLES.json "
@@ -226,7 +240,7 @@ def append_to_edge_table_stateful(
     if (
         os.path.isdir(table_path)
         and os.listdir(table_path)
-        and not os.path.isdir(checkpoint)
+        and not _is_resumable_checkpoint(checkpoint)
     ):
         raise ValueError(
             f"append_to_edge_table_stateful: {table_path} already has data but "
