@@ -523,3 +523,33 @@ def test_ktruss_incremental_matches_bulk_real_graph(spark):
         )
         assert incr == bulk, f"k={k}"
         assert len(bulk) > 0
+
+
+def test_kcore_incremental_matches_bulk(spark):
+    """Delta degree-maintenance peel == bulk recount peel: hand graphs (incl.
+    a path, the pure cascade regime where each round removes only the two
+    ends), and the sf0.001 sampled subgraph at the contract k."""
+    import __spark_entry__ as entry
+    from trianglecounting_spark.operators.kcore import kcore, kcore_incremental
+
+    e = g.two_cliques_bridge(spark)
+    for k in (2, 3, 6, 7):
+        bulk = sorted((r.u, r.v) for r in kcore(e, k).collect())
+        incr = sorted((r.u, r.v) for r in kcore_incremental(e, k).collect())
+        assert incr == bulk, f"k={k}"
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "u long, v long"
+    )
+    assert kcore_incremental(path, 2, max_iterations=30).count() == 0
+    bulk = sorted((r.u, r.v) for r in kcore(path, 1).collect())
+    incr = sorted((r.u, r.v) for r in kcore_incremental(path, 1).collect())
+    assert incr == bulk  # k=1 keeps the whole path
+
+    se = entry._sampled_edges(spark, SF_SMALL)
+    bulk = sorted((r.u, r.v) for r in kcore(se, 8, max_iterations=30).collect())
+    incr = sorted(
+        (r.u, r.v) for r in kcore_incremental(se, 8, max_iterations=30).collect()
+    )
+    assert incr == bulk
+    assert len(bulk) > 0

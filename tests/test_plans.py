@@ -81,3 +81,35 @@ def test_ngram_dup_ratio_stays_jvm_side_and_shuffle_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "PythonUDF" not in plan
     assert count_shuffle_exchanges(df) == 0, plan
+
+
+def test_checkpointed_state_partitioning_survives_for_delta_joins(spark):
+    """The adaptive delta k-truss keys every per-round membership/decrement
+    join on the state's (src, dst) hash partitioning: a localCheckpointed
+    ``repartition(n, src, dst)`` must surface its distribution to Catalyst
+    (LogicalRDD preserves outputPartitioning), so the equi-join adds an
+    Exchange ONLY on the small (removal-neighborhood) side — 1 shuffle, not
+    2. A regression here silently doubles every delta round's shuffle volume
+    at scale."""
+    from trianglecounting_spark.plans.layout import count_shuffle_exchanges
+
+    state = (
+        spark.range(2000)
+        .select(
+            (F.col("id") % 97).alias("src"),
+            (F.col("id") % 89).alias("dst"),
+            F.lit(1).cast("long").alias("support"),
+        )
+        .repartition(8, "src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    dec = spark.range(40).select(
+        (F.col("id") % 7).alias("src"),
+        (F.col("id") % 5).alias("dst"),
+        F.lit(1).cast("long").alias("__lost"),
+    )
+    joined = state.join(dec, ["src", "dst"], "left").select(
+        "src", "dst", (F.col("support") - F.coalesce("__lost", F.lit(0))).alias("support")
+    )
+    n_ex = count_shuffle_exchanges(joined)
+    assert n_ex <= 1, _plan(joined)

@@ -107,9 +107,26 @@ def main() -> None:
         assert int(row.triangles) == tri
 
     py_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    # JVM peak RSS read from /proc BEFORE the session stops (RUSAGE_CHILDREN
+    # only counts reaped children, which pyspark's gateway is not)
+    jvm_rss_mb = -1
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() != "java":
+                        continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmHWM:"):
+                            jvm_rss_mb = max(jvm_rss_mb, int(line.split()[1]) // 1024)
+            except OSError:
+                continue
+    except OSError:
+        pass
     spark.stop()
-    time.sleep(2)  # let the JVM exit so children max-rss is final
-    jvm_rss_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss // 1024
 
     print(
         json.dumps(

@@ -449,7 +449,7 @@ def _make_tc_partition_enumerate(hub_bc):
 
 
 def triangle_enumerate_kernel(
-    edges: DataFrame, num_partitions: int | None = None, hub_k: int = 65536
+    edges: DataFrame, num_partitions: int | None = None, hub_k: int | None = None
 ) -> DataFrame:
     """Materialize each triangle once as (a, b, c) in rank order — via the
     vectorized intersection kernel instead of the three-way sort-merge join
@@ -462,7 +462,7 @@ def triangle_enumerate_kernel(
 
 
 def _edges_with_dst_adjacency(
-    edges: DataFrame, num_partitions: int | None, hub_k: int = 65536
+    edges: DataFrame, num_partitions: int | None, hub_k: int | None = None
 ):
     """DODG edges joined with the adjacency list of their *destination*,
     co-partitioned + sorted by src for the partition kernel, with the hub
@@ -492,7 +492,7 @@ def _edges_with_dst_adjacency(
 
 
 def _layout_from_dodg(
-    d: DataFrame, adj: DataFrame, num_partitions: int | None, hub_k: int = 65536
+    d: DataFrame, adj: DataFrame, num_partitions: int | None, hub_k: int | None = None
 ):
     """Core of the kernel layout, shared by the edge-derived path above and
     the pre-bucketed-table path (`bucketed_kernel_layout`): hub split + the
@@ -501,6 +501,8 @@ def _layout_from_dodg(
     exchanges (both scans already satisfy the join distribution) — the
     SURVEY §4 "bucketed write" layout contract."""
     hubs = hub_flat = None
+    if hub_k is None:
+        hub_k = HUB_K_DEFAULT
     if hub_k > 0:
         hubs, hub_flat = _select_hub_csr(d, adj, hub_k)
     return _assemble_layout(d, adj, hubs, hub_flat, num_partitions)
@@ -512,10 +514,19 @@ def _layout_from_dodg(
 # falls back to the plain dst join (hub split disabled) instead of a silent
 # driver/executor memory blow-up — same answers, just without the wedge-
 # replication optimization.
-HUB_BUDGET_BYTES = 256 << 20
+import os as _os
+
+# Driver/executor byte budget for the broadcast hub CSR. 256 MB suits the
+# sf-scale graphs; at R-MAT scale 22+ (64 M+ edges) the 65 k hubs it admits
+# leave mid-degree destinations (indeg 8..~200) replicating their adjacency
+# through the layout join — measured 5x per-probe slowdown (BENCH/BASELINE.md
+# appendix). On a real cluster this scales with executor memory; here it is
+# env-tunable for the large-graph runs.
+HUB_BUDGET_BYTES = int(_os.environ.get("SPARK_GRAFT_HUB_BUDGET_BYTES", 256 << 20))
+HUB_K_DEFAULT = int(_os.environ.get("SPARK_GRAFT_HUB_K", 65536))
 
 
-def _select_hub_csr(d: DataFrame, adj: DataFrame, hub_k: int,
+def _select_hub_csr(d: DataFrame, adj: DataFrame, hub_k: int | None,
                     budget_bytes: int | None = None):
     """Pick the hub set and collect its flat CSR to the driver.
 
@@ -599,7 +610,7 @@ def _assemble_layout(d, adj, hubs, hub_flat, num_partitions):
 def triangle_count_kernel(
     edges: DataFrame,
     num_partitions: int | None = None,
-    hub_k: int = 65536,
+    hub_k: int | None = None,
     observation=None,
 ) -> DataFrame:
     """Global exact triangle count via the vectorized intersection kernel.
@@ -635,7 +646,7 @@ def triangle_count_kernel(
 
 
 def triangle_count_per_directed_edge_kernel(
-    edges: DataFrame, num_partitions: int | None = None, hub_k: int = 65536
+    edges: DataFrame, num_partitions: int | None = None, hub_k: int | None = None
 ) -> DataFrame:
     """Per-DODG-edge intersection counts ``(src, dst, cnt)`` — the kernel
     analogue of the reference's per-edge loop body, and the base quantity the
@@ -659,7 +670,7 @@ def bucketed_kernel_layout(
     spark,
     edges_table: str,
     adj_table: str,
-    hub_k: int = 65536,
+    hub_k: int | None = None,
     hub_table: str | None = None,
 ):
     """Kernel input layout from pre-bucketed catalog tables (see
@@ -687,7 +698,7 @@ def triangle_count_kernel_bucketed(
     spark,
     edges_table: str,
     adj_table: str,
-    hub_k: int = 65536,
+    hub_k: int | None = None,
     observation=None,
     hub_table: str | None = None,
 ) -> DataFrame:
@@ -714,7 +725,7 @@ def triangle_count_kernel_bucketed(
 
 
 def triangle_per_edge_support_bucketed(
-    spark, edges_table: str, adj_table: str, hub_k: int = 65536,
+    spark, edges_table: str, adj_table: str, hub_k: int | None = None,
     hub_table: str | None = None,
 ) -> DataFrame:
     """`triangle_per_edge_support` over the pre-bucketed layout (same explode
