@@ -756,6 +756,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         k=5,
     )
+    # delta-maintenance peels (round 5): same fixpoints as the official
+    # *_fixpoint rows, different per-round cost model — oracle-gated here on
+    # the identical unrolled SQL, differential-tested in test_iterative.py
+    from trianglecounting_spark.operators.ktruss import ktruss_incremental
+    from trianglecounting_spark.operators.kcore import kcore_incremental
+
+    q["ktruss_fixpoint_incr"] = lambda s, d: ktruss_incremental(
+        _edges(s, d), k=6, max_iterations=30
+    )
+    q["kcore_fixpoint_incr"] = lambda s, d: kcore_incremental(
+        _sampled_edges(s, d), k=8, max_iterations=30
+    )
     return q
 
 
@@ -795,4 +807,6 @@ def extra_oracle_sql() -> dict[str, str]:
     o["ktruss"] = ktruss_unrolled_sql(_E, k=4, rounds=3)
     o["kcore"] = kcore_unrolled_sql(_E, k=4, rounds=3)
     o["cosine_topk_kernel"] = SIM.cosine_topk_sql(k=5)
+    o["ktruss_fixpoint_incr"] = ktruss_unrolled_sql(_E, k=6, rounds=7)
+    o["kcore_fixpoint_incr"] = kcore_unrolled_sql(_SAMPLED_E, k=8, rounds=8)
     return o

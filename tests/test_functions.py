@@ -491,3 +491,49 @@ def test_duplicated_spans_hot_fp_skew(spark):
     # partitioning-invariance of the whole aggregate
     again = duplicated_span_stats(docs.repartition(3), k=20, w=8).collect()
     assert sorted(map(tuple, stats)) == sorted(map(tuple, again))
+
+
+def test_remove_duplicated_spans_rewrite(spark):
+    """Detect → mask → REMOVE: the shared boilerplate is cut from the
+    normalized text up to the winnowing boundary slack (the first selected
+    fingerprint can start up to w-1 positions into a match and the last ends
+    up to w-1 before it, so ≤ ~w+k chars may survive at each edge — exact
+    boundaries are the suffix-array method's advantage; the candidate set
+    here is distributable and oracle-expressible). Unique docs pass through
+    byte-identical; identical carriers rewrite identically."""
+    from trianglecounting_spark.functions.textstats import remove_duplicated_spans
+
+    k, w = 20, 8
+    boiler = (
+        "this exact legal disclaimer paragraph appears verbatim on every "
+        "single page of the site and should be stripped before training"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "Head  text UNIQUE one " + boiler + " tail words here x"),
+            (2, boiler + " completely different ending for document two"),
+            (3, "no duplication at all in this one zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, k=k, w=w).collect()}
+    # untouched doc: byte-identical normalized text, zero removed
+    assert out[3].n_removed_chars == 0
+    assert out[3].clean_text == "no duplication at all in this one zzz qqq www"
+    # carriers: the bulk of the boilerplate is gone (≥ len - 2·(w+k) chars
+    # removed) and the unique halves survive verbatim
+    for d in (1, 2):
+        assert out[d].n_removed_chars >= len(boiler) - 2 * (w + k)
+    assert "head text unique one" in out[1].clean_text
+    assert "tail words here x" in out[1].clean_text
+    assert "completely different ending for document two" in out[2].clean_text
+    assert "disclaimer" not in out[1].clean_text
+    assert "disclaimer" not in out[2].clean_text
+    # partitioning invariance
+    again = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs.repartition(5), k=k, w=w).collect()
+    }
+    assert {d: (r.clean_text, r.n_removed_chars) for d, r in out.items()} == {
+        d: (r.clean_text, r.n_removed_chars) for d, r in again.items()
+    }

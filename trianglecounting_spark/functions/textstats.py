@@ -566,3 +566,62 @@ def mask_duplicated_spans(
         )
         .select("doc_id", "span_start", "span_end")
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, k: int = 20, w: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Rewrite step of the substring-dedup pipeline (detect →
+    ``mask_duplicated_spans`` → REMOVE): cut every masked interval out of the
+    NORMALIZED text (mask positions are 1-based offsets into the normalized
+    form — whitespace-collapsed, lowercased, trimmed — so the rewrite applies
+    there). Documents with no duplicated spans pass through intact.
+
+    Entirely Column expressions: per-doc intervals are collected (bounded by
+    document length), and the splice is one ``F.aggregate`` over the sorted
+    interval array — each step appends the kept segment before the interval
+    and advances the cursor past it; the finish lambda appends the tail. No
+    Python touches data; per-doc work only, like the winnowing pass.
+
+    Output: ``(doc_id, clean_text, n_removed_chars)``.
+    """
+    norm = F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    base = docs.select("doc_id", norm.alias("__norm"))
+    masks = mask_duplicated_spans(docs, k=k, w=w, min_docs=min_docs)
+    ivs = masks.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("__ivs")
+    )
+    j = base.join(ivs, "doc_id", "left")
+    ivs_col = F.coalesce(
+        F.col("__ivs"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    acc0 = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
+    )
+
+    def _merge(a, iv):
+        return F.struct(
+            (iv["e"] + 1).cast("long").alias("pos"),
+            F.concat(
+                a["acc"], F.col("__norm").substr(a["pos"], iv["s"] - a["pos"])
+            ).alias("acc"),
+        )
+
+    def _finish(a):
+        return F.concat(
+            a["acc"],
+            F.col("__norm").substr(a["pos"], F.length("__norm").cast("long")),
+        )
+
+    clean = F.aggregate(ivs_col, acc0, _merge, _finish)
+    return j.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.length("__norm") - F.length(clean)).cast("long").alias("n_removed_chars"),
+    )
