@@ -768,6 +768,26 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kcore_fixpoint_incr"] = lambda s, d: kcore_incremental(
         _sampled_edges(s, d), k=8, max_iterations=30
     )
+
+    # host-level web rollup: the hyperlink graph aggregated to (host, host)
+    # with link multiplicities — the site-graph input for host PageRank
+    q["host_graph"] = lambda s, d: PG.host_link_graph(_doc_pages(s, d))
+
+    # PII scrub over documents with deterministic synthetic PII appended
+    # (the base corpus has none — both engines inject the identical suffix)
+    def _docs_with_pii(s, d):
+        return _docs(s, d).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call +1-555-"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+
+    q["pii_scrub"] = lambda s, d: TS.pii_scrub(_docs_with_pii(s, d))
     return q
 
 
@@ -809,4 +829,17 @@ def extra_oracle_sql() -> dict[str, str]:
     o["cosine_topk_kernel"] = SIM.cosine_topk_sql(k=5)
     o["ktruss_fixpoint_incr"] = ktruss_unrolled_sql(_E, k=6, rounds=7)
     o["kcore_fixpoint_incr"] = kcore_unrolled_sql(_SAMPLED_E, k=8, rounds=8)
+    o["host_graph"] = (
+        f"WITH p AS ({_DOC_PAGES_URLS}), "
+        "links AS (SELECT src_url, t1 AS dst_url FROM p "
+        "UNION ALL SELECT src_url, t2 FROM p) "
+        "SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host, "
+        "regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host, "
+        "CAST(count(*) AS BIGINT) AS n_links FROM links GROUP BY 1, 2"
+    )
+    o["pii_scrub"] = TS.pii_scrub_sql(
+        "(SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or call +1-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text FROM documents)"
+    )
     return o

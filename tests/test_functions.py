@@ -537,3 +537,50 @@ def test_remove_duplicated_spans_rewrite(spark):
     assert {d: (r.clean_text, r.n_removed_chars) for d, r in out.items()} == {
         d: (r.clean_text, r.n_removed_chars) for d, r in again.items()
     }
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from trianglecounting_spark.functions.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo-bar.example.org and d@e.io, call +44-123-4567 now"),
+            (2, "no pii here at all"),
+            (3, "broken@ not-an-email @nor.this +1-12-345 (bad phone shapes)"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (out[1].n_emails, out[1].n_phones) == (2, 1)
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+    assert (out[3].n_emails, out[3].n_phones) == (0, 0)
+    # redaction changes the fingerprint iff something matched
+    import hashlib
+
+    assert out[2].scrubbed_fp == hashlib.md5(b"no pii here at all").hexdigest()
+    assert out[1].scrubbed_fp == hashlib.md5(
+        b"mail [EMAIL] and [EMAIL], call [PHONE] now"
+    ).hexdigest()
+
+
+def test_host_link_graph_rollup(spark):
+    from trianglecounting_spark.sources.pages import host_link_graph
+
+    def page(url, hrefs):
+        html = "<html><body>" + "".join(f'<a href="{h}">x</a>' for h in hrefs) + "</body></html>"
+        return (url, html.encode())
+
+    pages = spark.createDataFrame(
+        [
+            page("https://a.example/p1", ["https://b.example/x", "https://b.example/y", "/local"]),
+            page("https://a.example/p2", ["https://b.example/x"]),
+            page("https://b.example/q", ["https://a.example/z"]),
+        ],
+        "url string, html binary",
+    )
+    got = {(r.src_host, r.dst_host): r.n_links for r in host_link_graph(pages).collect()}
+    assert got == {
+        ("a.example", "b.example"): 3,
+        ("a.example", "a.example"): 1,  # the relative href resolves same-host
+        ("b.example", "a.example"): 1,
+    }

@@ -625,3 +625,49 @@ def remove_duplicated_spans(
         clean.alias("clean_text"),
         (F.length("__norm") - F.length(clean)).cast("long").alias("n_removed_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (the redaction pass every training-data pipeline runs before
+# anything is retained): count + replace emails/phones with typed tokens.
+# Regexes deliberately simple and dialect-portable (Java regex == RE2 here).
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Per-document PII profile + redacted-text fingerprint: emails replaced
+    with ``[EMAIL]``, then phones with ``[PHONE]`` (that order in BOTH
+    engines — the oracle replays it literally). The fingerprint stands in
+    for the full rewritten text so the row stays hash-comparable.
+
+    Output ``(doc_id, n_emails, n_phones, scrubbed_fp)``; pure Column
+    expressions, narrow map over the scan.
+    """
+    text = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("long")
+    scrub = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(scrub.cast("binary")).alias("scrubbed_fp"),
+    )
+
+
+def pii_scrub_sql(docs_rel: str = "documents") -> str:
+    """DuckDB twin of ``pii_scrub`` (same regexes, same replace order)."""
+    e, p = EMAIL_RE.replace("'", "''"), PHONE_RE.replace("'", "''")
+    return (
+        f"SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones, "
+        f"md5(regexp_replace(regexp_replace(text, '{e}', '[EMAIL]', 'g'), "
+        f"'{p}', '[PHONE]', 'g')) AS scrubbed_fp "
+        f"FROM {docs_rel}"
+    )
