@@ -788,6 +788,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_scrub"] = lambda s, d: TS.pii_scrub(_docs_with_pii(s, d))
+
+    # IVF-style ANN (the inverted-file scale path next to the LSH member):
+    # deterministic seed centroids make the full result oracle-exact
+    q["ann_ivf_topk"] = lambda s, d: SIM.ann_ivf_topk(
+        s.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        n_cells=16, nprobe=2, k=5,
+    )
     return q
 
 
@@ -837,6 +846,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host, "
         "CAST(count(*) AS BIGINT) AS n_links FROM links GROUP BY 1, 2"
     )
+    o["ann_ivf_topk"] = SIM.ann_ivf_topk_sql(n_cells=16, nprobe=2, k=5)
     o["pii_scrub"] = TS.pii_scrub_sql(
         "(SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || "
         "'@example.com or call +1-555-' || "

@@ -584,3 +584,59 @@ def test_host_link_graph_rollup(spark):
         ("a.example", "a.example"): 1,  # the relative href resolves same-host
         ("b.example", "a.example"): 1,
     }
+
+
+def test_ann_ivf_recall_and_cap(spark):
+    """IVF routing: recall@1 vs the exact baseline on the twin-pair fixture;
+    the nprobe=all configuration must equal brute force exactly (probing
+    every cell = scanning everything); hot-cell salting caps group sizes on
+    an all-identical corpus without changing the under-cap result."""
+    e = _embeddings(spark)
+    exact = {r.vec_id: r.nbr_id for r in sim.cosine_topk(e, k=1).collect()}
+    approx = {
+        r.vec_id: r.nbr_id
+        for r in sim.ann_ivf_topk(e, n_cells=4, nprobe=2, k=1).collect()
+    }
+    hits = sum(1 for v, n in approx.items() if exact.get(v) == n)
+    assert hits / len(exact) >= 0.5
+
+    # nprobe = n_cells ⇒ every vector probes every cell ⇒ exact
+    full = {
+        r.vec_id: r.nbr_id
+        for r in sim.ann_ivf_topk(e, n_cells=4, nprobe=4, k=1).collect()
+    }
+    assert full == exact
+
+    # under-cap invariance
+    capped = sorted(map(tuple, sim.ann_ivf_topk(e, n_cells=4, nprobe=2, k=2,
+                                                cell_cap=100).collect()))
+    uncapped = sorted(map(tuple, sim.ann_ivf_topk(e, n_cells=4, nprobe=2, k=2,
+                                                  cell_cap=10**9).collect()))
+    assert capped == uncapped
+
+    # degenerate corpus: identical vectors all route to one cell; the salt
+    # must bound the candidate groups and keep per-salt closed-form top-k
+    n, cap = 1000, 50
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0) for _ in range(8)]).alias("embedding"),
+    )
+    out = sim.ann_ivf_topk(emb, n_cells=2, nprobe=1, k=3, cell_cap=cap).collect()
+    assert all(r.sim == 1.0 for r in out)
+    per_vec = {}
+    for r in out:
+        per_vec.setdefault(r.vec_id, []).append(r.nbr_id)
+    # every vector still finds neighbors, and no salt group exceeded ~cap
+    # (closed form: k smallest other ids within the vector's salt group)
+    nsplit = -(-n // cap)
+    assert nsplit > 1
+    groups = {}
+    for v in range(n):
+        groups.setdefault(
+            ((v % sim._CAP_M) * sim._CAP_A + 42) % sim._CAP_M % nsplit, []
+        ).append(v)
+    for members in groups.values():
+        for v in members:
+            want = sorted(m for m in members if m != v)[:3]
+            if want:
+                assert sorted(per_vec.get(v, [])) == want

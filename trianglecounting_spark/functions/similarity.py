@@ -460,3 +460,108 @@ WHERE round(list_dot_product(x.e, y.e) /
             (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) >= {threshold}
 ORDER BY id_a, id_b
 """.strip()
+
+
+def ann_ivf_topk(embeddings: DataFrame, n_cells: int = 16, nprobe: int = 2,
+                 k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
+                 cell_cap: int = BUCKET_CAP_DEFAULT, seed: int = 42) -> DataFrame:
+    """IVF-style ANN top-k — the inverted-file counterpart to `ann_lsh_topk`
+    (the brief's "IVF or LSH-bucketed variant as the scale path"; this is the
+    IVF member).
+
+    Coarse quantizer: the ``n_cells`` lowest-id vectors serve as
+    deterministic centroid seeds (production swaps in k-means centroids; the
+    routing + join SHAPE — which is what costs anything at scale — is
+    identical, and determinism is what makes the DuckDB oracle exact).
+    Routing: every vector scores all centroids (a broadcast of ``n_cells``
+    vectors; O(n·C) dot products — the standard IVF assignment cost) and is
+    ASSIGNED to its top cell; at query time it PROBES its ``nprobe`` best
+    cells. Candidates = probe list ⋈ member list on the cell id — each
+    member sits in exactly one cell, so a (vec, nbr) pair arises at most
+    once and needs NO distinct. Exact cosine re-rank, same output schema as
+    `cosine_topk`.
+
+    Skew: a degenerate corpus can route everything into one cell; members
+    AND probes are salt-split by the same id-hash once a cell exceeds
+    ``cell_cap`` (the `_salted` rule — volume capped at ~nsplit·cap² per
+    cell, recall loss confined to over-full cells, salt constant 0 under the
+    cap). Cell similarity is rounded to 6dp BEFORE ranking so the argmax is
+    engine-portable.
+    """
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cents = (
+        e.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    )
+    csim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", F.round(csim, 6).alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    ranked = scored.withColumn("crk", F.row_number().over(w))
+    members = ranked.where(F.col("crk") == 1).select("vec_id", "cell")
+    probes = ranked.where(F.col("crk") <= nprobe).select("vec_id", "cell")
+
+    sizes = members.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+    nsplit = F.ceil(F.col("_csz") / F.lit(float(cell_cap))).cast("long")
+    salt = (
+        (F.col("vec_id") % F.lit(_CAP_M)) * F.lit(_CAP_A) + F.lit(seed)
+    ) % F.lit(_CAP_M) % nsplit
+    mem_s = members.join(sizes, "cell").select(
+        F.col("vec_id").alias("nbr_id"), "cell", salt.alias("salt")
+    )
+    probe_s = probes.join(sizes, "cell").select("vec_id", "cell", salt.alias("salt"))
+    cands = (
+        probe_s.join(mem_s, ["cell", "salt"])
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id")
+    )
+    va = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    pairs = cands.join(va, "vec_id").join(vb, "nbr_id").select(
+        "vec_id", "nbr_id", F.round(sim, 6).alias("sim")
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= k)
+        .select("vec_id", "nbr_id", "sim", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def ann_ivf_topk_sql(n_cells: int = 16, nprobe: int = 2, k: int = 5,
+                     cell_cap: int = BUCKET_CAP_DEFAULT, seed: int = 42) -> str:
+    """DuckDB twin of ``ann_ivf_topk`` — same seeds-as-centroids, same
+    rounded-then-ranked assignment, same id-hash salt rule."""
+    ldp = "list_dot_product"
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS MATERIALIZED (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {n_cells}),
+scored AS (SELECT e.vec_id, c.cell,
+    round({ldp}(e.v, c.cv) / (sqrt({ldp}(e.v, e.v)) * sqrt({ldp}(c.cv, c.cv))), 6) AS csim
+  FROM e CROSS JOIN cents c),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+    ORDER BY csim DESC, cell ASC) AS crk FROM scored),
+members AS MATERIALIZED (SELECT vec_id, cell FROM ranked WHERE crk = 1),
+probes AS MATERIALIZED (SELECT vec_id, cell FROM ranked WHERE crk <= {nprobe}),
+csz AS (SELECT cell, count(*) AS c FROM members GROUP BY cell),
+mem_s AS (SELECT m.vec_id AS nbr_id, m.cell,
+    ((m.vec_id % {_CAP_M}) * {_CAP_A} + {seed}) % {_CAP_M}
+    % CAST(ceil(z.c * 1.0 / {cell_cap}) AS BIGINT) AS salt
+  FROM members m JOIN csz z USING (cell)),
+probe_s AS (SELECT p.vec_id, p.cell,
+    ((p.vec_id % {_CAP_M}) * {_CAP_A} + {seed}) % {_CAP_M}
+    % CAST(ceil(z.c * 1.0 / {cell_cap}) AS BIGINT) AS salt
+  FROM probes p JOIN csz z USING (cell)),
+cands AS (SELECT p.vec_id, m.nbr_id FROM probe_s p
+  JOIN mem_s m ON m.cell = p.cell AND m.salt = p.salt
+  WHERE p.vec_id <> m.nbr_id),
+pairs AS (SELECT c.vec_id, c.nbr_id,
+    round({ldp}(a.v, b.v) / (sqrt({ldp}(a.v, a.v)) * sqrt({ldp}(b.v, b.v))), 6) AS sim
+  FROM cands c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.nbr_id)
+SELECT vec_id, nbr_id, sim, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY sim DESC, nbr_id ASC) AS rnk FROM pairs)
+WHERE rnk <= {k} ORDER BY vec_id, rnk
+""".strip()
