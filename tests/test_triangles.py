@@ -188,3 +188,17 @@ def test_triangle_count_delta_star_batch(spark):
     t_union = triangle_count_kernel(u_all).collect()[0].triangles
     t_old = triangle_count_kernel(existing).collect()[0].triangles
     assert delta == t_union - t_old
+
+
+def test_hub_k_zero_and_env_tunables(spark):
+    """hub_k=0 disables the hub split entirely (pure join path) with the
+    identical exact count — the knob the env tunables
+    (SPARK_GRAFT_HUB_K / SPARK_GRAFT_HUB_BUDGET_BYTES, read at import for
+    large-graph runs) ride on; hub_k=None resolves to the module default."""
+    import trianglecounting_spark.operators.triangles as T
+
+    e = normalize_edges(g.rmat_graph(spark, scale=9, edge_factor=8))
+    default = T.triangle_count_kernel(e).collect()[0].triangles
+    hubless = T.triangle_count_kernel(e, hub_k=0).collect()[0].triangles
+    assert hubless == default > 0
+    assert T.HUB_K_DEFAULT == 65536  # baked default when env unset
