@@ -302,3 +302,54 @@ def test_maintain_triangle_count_fresh_checkpoint_raises(spark, tmp_path):
             tbl,
             str(tmp_path / "ckpt_fresh"),
         )
+
+
+def test_streaming_window_drops_late_data_past_watermark(spark, tmp_path):
+    """Watermark semantics end-to-end across a restart: drain 1 advances the
+    event-time watermark (max ts − 10 min); a row arriving in drain 2 whose
+    window closed before that watermark is DROPPED (append mode emits the
+    closed window from drain-1 state only), while in-order drain-2 rows keep
+    accumulating. This is the late-arrival contract a crawl-ingest pipeline
+    relies on for bounded state."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    src.mkdir()
+
+    def write_rows(rows, mode):
+        spark.createDataFrame(rows, "src long, dst long, ts_s string").select(
+            "src", "dst", F.col("ts_s").cast("timestamp").alias("ts")
+        ).write.mode(mode).parquet(str(src))
+
+    def drain():
+        q = (
+            edge_rate_per_window(stream_raw_edges(spark, str(src)), "1 minute")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # drain 1: two rows in the 00:00 window + one at 00:20 that pushes the
+    # watermark to 00:10 (past the 00:00 window's end)
+    write_rows(
+        [(1, 2, "2024-01-01 00:00:10"), (3, 4, "2024-01-01 00:00:40"),
+         (5, 6, "2024-01-01 00:20:00")],
+        "overwrite",
+    )
+    drain()
+    # drain 2: one LATE row for the already-expired 00:00 window (must be
+    # dropped) + one fresh row at 00:21 (keeps state alive, not yet emitted)
+    write_rows([(7, 8, "2024-01-01 00:00:30"), (9, 10, "2024-01-01 00:21:00")], "append")
+    drain()
+
+    got = {
+        str(r.window_start): r.n_edges
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # the 00:00 window was emitted with the TWO drain-1 rows only — the late
+    # third row never entered it; later windows are still open (unemitted)
+    assert got == {"2024-01-01 00:00:00": 2}
