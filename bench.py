@@ -260,8 +260,10 @@ def main() -> None:
     # bulk Arrow-kernel recount wins; attaching a triangle strip adds a long
     # cascade of 2-edge removal rounds, and there the delta form's per-round
     # cost tracks the REMOVAL NEIGHBORHOOD while the bulk form recounts the
-    # whole surviving ~1.1 M-edge core every round (round-5 probe, strip
-    # n=30: incr 46.8 s vs bulk 105.9 s, identical 1,109,228-edge output)
+    # whole surviving ~1.1 M-edge core every round (post stats-fix round-5
+    # probe at this n=20 config: incr 22.5 s vs bulk 38.2 s; the pre-fix
+    # n=30 cascade measured 46.8 s vs 105.9 s with both forms paying the
+    # compounding-BigInt driver tax plans/cache.py now strips)
     _strip_n = 20
     _B = 1_000_000_000
     strip = spark.createDataFrame(

@@ -553,3 +553,42 @@ def test_kcore_incremental_matches_bulk(spark):
     )
     assert incr == bulk
     assert len(bulk) > 0
+
+
+def test_incremental_peels_survive_deep_cascades(spark):
+    """Regression for the deep-cascade driver blowup: localCheckpoint leaves
+    the RDD DAG chained, and the driver's per-job lineage-path walk is
+    O(refs^depth) — before the _BARRIER_EVERY reliable-checkpoint barrier, a
+    ~20-round k-core cascade at sf0.1 pinned the driver single-core in
+    BigInteger stats arithmetic for >25 min (bulk form: 23 s). These cascades
+    run 2.5×+ past the barrier cadence (12), so a reintroduced unbounded walk
+    would blow the wall bound long before finishing."""
+    import time
+
+    from trianglecounting_spark.operators.kcore import kcore_incremental
+    from trianglecounting_spark.operators.ktruss import ktruss_incremental
+
+    # 61-vertex path, k=2: peels exactly the two endpoints per round →
+    # ~30 rounds, crossing the 12-round barrier twice
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "u long, v long"
+    )
+    t0 = time.time()
+    assert kcore_incremental(path, 2, max_iterations=60).count() == 0
+    kcore_wall = time.time() - t0
+
+    # triangle strip, k=4, pure delta from round 1: ends peel inward two
+    # triangles per round → ~17 delta rounds, crossing the barrier once
+    n = 36
+    strip = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(i, i + 2) for i in range(n - 2)],
+        "u long, v long",
+    )
+    t0 = time.time()
+    assert ktruss_incremental(strip, 4, delta_frac=float("inf")).count() == 0
+    ktruss_wall = time.time() - t0
+
+    # generous for hypervisor noise; the unbarriered walk measured 4×/round
+    # growth past depth ~11, i.e. hours at these depths
+    assert kcore_wall < 300, kcore_wall
+    assert ktruss_wall < 300, ktruss_wall

@@ -22,11 +22,15 @@ from pyspark.storagelevel import StorageLevel
 
 from trianglecounting_spark.operators.triangles import triangle_per_edge_support
 from trianglecounting_spark.plans.cache import (
+    barrier_checkpoint,
     persistent_rdd_ids,
     release_ids,
     tracked_checkpoint,
 )
 from trianglecounting_spark.plans.checkpoint import IterationCheckpointer
+
+# delta-phase lineage-barrier cadence (see kcore.py's _BARRIER_EVERY)
+_KTRUSS_BARRIER_EVERY = 12
 
 
 def _peel_once(cur: DataFrame, k: int) -> DataFrame:
@@ -264,7 +268,14 @@ def ktruss_incremental(
             .repartition(n_part, "src", "dst")
         )
         before = persistent_rdd_ids(spark)
-        new_state, new_ids = tracked_checkpoint(new_state_plan, before=before)
+        # deep-cascade guard: localCheckpoint leaves the RDD DAG chained, and
+        # the driver's per-job lineage-path walk is O(refs^depth) — a file
+        # barrier every 12 delta rounds caps the depth (see kcore.py's
+        # _BARRIER_EVERY note for the measured blowup; same scc.py contract)
+        if (_it + 1) % _KTRUSS_BARRIER_EVERY == 0:
+            new_state, new_ids = barrier_checkpoint(new_state_plan)
+        else:
+            new_state, new_ids = tracked_checkpoint(new_state_plan, before=before)
         release_ids(spark, state_ids)
         state, state_ids = new_state, new_ids
     out = state.where(F.col("support") >= k - 2).select(

@@ -27,6 +27,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _reset_degenerate_stats(df: DataFrame) -> DataFrame:
+    """Strip DEGENERATE origin statistics from a freshly checkpointed frame.
+
+    Spark's ``Dataset.checkpoint``/``localCheckpoint`` snapshot the origin
+    plan's *estimated* ``Statistics`` into the new ``LogicalRDD`` leaf
+    (``LogicalRDD.fromDataset`` → ``computeStats``). The size-only estimator
+    multiplies children across joins, so an iterative loop whose round plan
+    references its checkpointed state k≥2 times compounds the estimate
+    GEOMETRICALLY round over round: measured here (kcore delta peel, path
+    cascade), sizeInBytes went 57 → 13,726 decimal digits in six rounds, and
+    at sf0.1 the ~15th round pinned the driver >25 min inside
+    ``BigInteger.multiply`` under ``InjectRuntimeFilter``'s stats probe while
+    executors sat idle. RDD-level barriers cannot help — the poison rides the
+    logical-plan stats snapshot, not lineage.
+
+    Fix: when the snapshotted estimate is wider than 64 bits (i.e. past any
+    physically possible byte count — 16 EB), rebuild the leaf via the public
+    ``LogicalRDD`` constructor with ``originStats = None`` over the SAME
+    checkpointed RDD. The leaf then reports ``spark.sql.defaultSizeInBytes``
+    (Long.MaxValue), which is what every stats consumer already concluded
+    ("too big to broadcast"), so join strategy selection is unchanged —
+    only the BigInt magnitude stops compounding. Realistic estimates
+    (≤ 2^64) are kept verbatim. Best-effort: any internals mismatch falls
+    back to the frame Spark produced."""
+    try:
+        spark = df.sparkSession
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return df
+        try:
+            # scala BigInt extends java.lang.Number, so py4j converts the
+            # return to a Python int via its decimal string — which itself
+            # raises ValueError past the 4300-digit CPython guard. That
+            # failure mode IS the degenerate case.
+            size = plan.computeStats().sizeInBytes()
+            if int(size).bit_length() <= 64:
+                return df
+        except ValueError:
+            pass  # >4300-digit estimate: degenerate a fortiori
+        jvm = spark._jvm
+        none = jvm.scala.Option.empty()
+        new_plan = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            plan.output(),
+            plan.rdd(),
+            plan.outputPartitioning(),
+            plan.outputOrdering(),
+            plan.isStreaming(),
+            plan.stream(),
+            spark._jsparkSession,
+            none,
+            none,
+        )
+        jnew = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, new_plan
+        )
+        return DataFrame(jnew, spark)
+    except Exception:
+        return df
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of every currently persisted RDD (cache() / persist() /
     localCheckpoint() blocks all register here)."""
@@ -101,7 +161,7 @@ def tracked_checkpoint(
     spark = df.sparkSession
     if before is None:
         before = persistent_rdd_ids(spark)
-    out = df.localCheckpoint(eager=True)
+    out = _reset_degenerate_stats(df.localCheckpoint(eager=True))
     created = persistent_rdd_ids(spark) - before
     own = {int(out._jdf.queryExecution().analyzed().rdd().id())}
     release_ids(spark, locally_checkpointed_ids(spark, created - own))
@@ -122,5 +182,5 @@ def barrier_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     empty; safe to pass to release_ids)."""
     spark = df.sparkSession
     before = persistent_rdd_ids(spark)
-    out = df.checkpoint(eager=True)
+    out = _reset_degenerate_stats(df.checkpoint(eager=True))
     return out, persistent_rdd_ids(spark) - before
