@@ -1,0 +1,76 @@
+"""4-clique and square (4-cycle) counting — closed forms + differentials."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trianglecounting_spark.operators.motifs import four_clique_count, square_count
+from trianglecounting_spark.sources import generators as g
+
+
+def _comb(n: int, k: int) -> int:
+    return math.comb(n, k)
+
+
+def test_complete_graph_closed_forms(spark):
+    # K_n: C(n,4) 4-cliques; 3·C(n,4) squares (each 4-subset gives 3 C4s)
+    k7 = g.complete_graph(spark, 7)
+    assert four_clique_count(k7).collect()[0][0] == _comb(7, 4)
+    assert square_count(k7).collect()[0][0] == 3 * _comb(7, 4)
+
+
+def test_cycle_graphs(spark):
+    # C4 is itself one square and no 4-clique; C6 has neither
+    c4 = g.cycle_graph(spark, 4)
+    assert four_clique_count(c4).collect()[0][0] == 0
+    assert square_count(c4).collect()[0][0] == 1
+    assert square_count(g.cycle_graph(spark, 6)).collect()[0][0] == 0
+
+
+def test_complete_bipartite_squares(spark):
+    # K_{a,b}: no triangles (hence no 4-cliques); C(a,2)·C(b,2) squares
+    a, b = 4, 5
+    left = range(a)
+    right = range(a, a + b)
+    rows = [(u, v) for u in left for v in right]
+    e = spark.createDataFrame(rows, "u long, v long")
+    assert four_clique_count(e).collect()[0][0] == 0
+    assert square_count(e).collect()[0][0] == _comb(a, 2) * _comb(b, 2)
+
+
+def test_rmat_differential_vs_bruteforce_sql(spark):
+    """Declarative cross-check on an irregular graph: the 6-way DODG join
+    (Catalyst plan, no kernel) must agree with the kernel-extension plan,
+    and the square count must agree with a wedge-pair SQL aggregate."""
+    from trianglecounting_spark.operators.normalize import normalize_edges, orient_dodg
+
+    e = normalize_edges(g.rmat_graph(spark, scale=8, edge_factor=6)).localCheckpoint(
+        eager=False
+    )
+
+    d = orient_dodg(e).localCheckpoint(eager=False)
+    d.createOrReplaceTempView("motif_d")
+    brute_quads = spark.sql(
+        "SELECT CAST(count(*) AS LONG) AS four_cliques FROM motif_d ab "
+        "JOIN motif_d ac ON ac.src = ab.src "
+        "JOIN motif_d bc ON bc.src = ab.dst AND bc.dst = ac.dst "
+        "JOIN motif_d ax ON ax.src = ab.src "
+        "JOIN motif_d bx ON bx.src = ab.dst AND bx.dst = ax.dst "
+        "JOIN motif_d cx ON cx.src = ac.dst AND cx.dst = ax.dst"
+    ).collect()[0][0]
+    assert four_clique_count(e).collect()[0][0] == brute_quads
+
+    sym = e.selectExpr("u AS src", "v AS dst").unionAll(
+        e.selectExpr("v AS src", "u AS dst")
+    )
+    sym.createOrReplaceTempView("motif_sym")
+    brute_squares = spark.sql(
+        "WITH codeg AS (SELECT n1.dst AS u, n2.dst AS w, count(*) AS cd "
+        "FROM motif_sym n1 JOIN motif_sym n2 "
+        "ON n1.src = n2.src AND n1.dst < n2.dst GROUP BY n1.dst, n2.dst) "
+        "SELECT CAST(sum(cd * (cd - 1) DIV 2) DIV 2 AS LONG) FROM codeg"
+    ).collect()[0][0]
+    assert square_count(e).collect()[0][0] == brute_squares

@@ -155,3 +155,30 @@ def test_binary_sinks_reject_out_of_range_ids(spark, tmp_path):
         raise AssertionError("expected the u4 range check to fire")
     except Exception as exc:  # Spark wraps the executor-side ValueError
         assert "range" in str(exc)
+
+
+def test_anchor_text_terms(spark):
+    """Handcrafted html: multi-word anchors split to lowered terms, relative
+    hrefs resolve against the page host, empty anchors drop out."""
+    rows = [
+        (
+            "https://alpha.example/p1",
+            b'<html><a href="https://beta.example/x">Great Site</a>'
+            b'<a href="/local">home page</a>'
+            b'<a href="https://beta.example/y"></a></html>',
+        ),
+        (
+            "https://gamma.example/p2",
+            b'<html><a href="https://beta.example/z">great</a></html>',
+        ),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        (r.dst_host, r.term): r.n for r in pg.anchor_text_terms(pages).collect()
+    }
+    assert got == {
+        ("beta.example", "great"): 2,
+        ("beta.example", "site"): 1,
+        ("alpha.example", "home"): 1,
+        ("alpha.example", "page"): 1,
+    }

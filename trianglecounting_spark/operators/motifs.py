@@ -1,0 +1,118 @@
+"""Higher-order motif counts beyond triangles: 4-cliques and 4-cycles.
+
+The reference stops at triangles (its kernel IS the k=3 clique counter);
+these two lanes extend the same degree-ordered machinery to the next motif
+sizes, the way the kClist family (Danisch et al., WWW'18) extends
+degree-ordered triangle enumeration:
+
+* ``four_clique_count`` — k=4 cliques via DODG triangle enumeration + one
+  extension join per remaining edge. On the DODG every clique {a<b<c<x} (rank
+  order) is generated exactly once from its rank-ordered triangle (a,b,c) by
+  extending from the HIGHEST-ranked corner c: x must lie in N⁺(c) (the
+  smallest of the three out-lists — degree-ordering keeps |N⁺| = O(√m),
+  `pre_processing_dodg.h:6-9`) and be confirmed in N⁺(a) ∩ N⁺(b) by two
+  equi-joins. The triangle list comes from the Arrow intersection kernel
+  (`triangles.triangle_enumerate_from_dodg`); the extension is three
+  shuffle joins Catalyst plans (AQE skew-splits a hot c).
+
+* ``square_count`` — global 4-cycle count via the co-degree identity
+  C4 = ½ · Σ_{u<w} C(codeg(u,w), 2): every 4-cycle {a,b,c,d} is counted once
+  by each of its two diagonals. codeg pairs are generated per wedge center
+  (the same Σ deg² volume the per-vertex clustering lane already carries) and
+  aggregated by the unordered endpoint pair. All-integer arithmetic → exact,
+  partitioning-invariant counts.
+
+Scale notes: the 4-clique extension joins carry one row per (triangle ×
+out-neighbor of its top corner) — Σ_tri outdeg(c) ≤ triangles · O(√m), the
+same bound kClist proves; no broadcast of the big side, all three joins are
+plain shuffles on (c), (b,x), (a,x). The square lane's wedge volume is the
+honest cost of exact codegree (hub centers dominate); the groupBy key (u,w)
+is pair-valued so reducer skew is mild, and the count agg is map-side
+combined. Both return 1-row exact LongType DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from trianglecounting_spark.operators.normalize import orient_dodg, undirect
+from trianglecounting_spark.operators.triangles import triangle_enumerate_from_dodg
+
+
+def four_clique_count(
+    edges: DataFrame, num_partitions: int | None = None, hub_k: int | None = None
+) -> DataFrame:
+    """Exact global 4-clique count. Output: one row ``(four_cliques: long)``.
+
+    Plan: DODG (built once, shared by the enumerate kernel and the three
+    extension joins) → kernel triangle list (a,b,c) in rank order → extend
+    with x ∈ N⁺(c), keep iff (b,x) and (a,x) are DODG edges.
+    """
+    d = orient_dodg(edges).localCheckpoint(eager=False)
+    tri = triangle_enumerate_from_dodg(d, num_partitions, hub_k)
+    dc = d.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    db = d.select(F.col("src").alias("b"), F.col("dst").alias("x"))
+    da = d.select(F.col("src").alias("a"), F.col("dst").alias("x"))
+    quads = tri.join(dc, "c").join(db, ["b", "x"]).join(da, ["a", "x"])
+    return quads.agg(F.count(F.lit(1)).cast("long").alias("four_cliques"))
+
+
+def four_clique_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``four_clique_count``: identical DODG + triangle CTEs,
+    identical extension joins."""
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        "d AS MATERIALIZED (SELECT "
+        "CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.u ELSE e.v END AS src, "
+        "CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.v ELSE e.u END AS dst "
+        "FROM e JOIN deg du ON du.v = e.u JOIN deg dv ON dv.v = e.v), "
+        "tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+        "FROM d e1 JOIN d e2 ON e2.src = e1.dst "
+        "JOIN d e3 ON e3.src = e1.src AND e3.dst = e2.dst) "
+        "SELECT CAST(count(*) AS BIGINT) AS four_cliques FROM tri "
+        "JOIN d dc ON dc.src = tri.c "
+        "JOIN d db ON db.src = tri.b AND db.dst = dc.dst "
+        "JOIN d da ON da.src = tri.a AND da.dst = dc.dst"
+    )
+
+
+def square_count(edges: DataFrame) -> DataFrame:
+    """Exact global 4-cycle (square) count. Output: one row
+    ``(squares: long)``.
+
+    codeg(u,w) is built from the symmetric edge table self-joined on the
+    wedge center with ``dst_1 < dst_2`` canonicalizing the pair; the final
+    ÷2 (each square has two diagonals) is exact — Σ C(codeg,2) is provably
+    even — so everything stays in int64 (``div``, never float division).
+    """
+    sym = undirect(edges).localCheckpoint(eager=False)
+    n1 = sym.select(F.col("src").alias("ctr"), F.col("dst").alias("u"))
+    n2 = sym.select(F.col("src").alias("ctr"), F.col("dst").alias("w"))
+    codeg = (
+        n1.join(n2, "ctr")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("cd"))
+    )
+    pair_pairs = F.sum(F.expr("cd * (cd - 1) div 2"))
+    return codeg.agg(pair_pairs.alias("_pp")).select(
+        F.expr("_pp div 2").cast("long").alias("squares")
+    )
+
+
+def square_count_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``square_count`` — same codeg identity, integer ÷."""
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e "
+        "UNION ALL SELECT v, u FROM e), "
+        "codeg AS (SELECT n1.dst AS u, n2.dst AS w, count(*) AS cd "
+        "FROM sym n1 JOIN sym n2 ON n1.src = n2.src AND n1.dst < n2.dst "
+        "GROUP BY n1.dst, n2.dst) "
+        "SELECT CAST(sum(cd * (cd - 1) // 2) // 2 AS BIGINT) AS squares "
+        "FROM codeg"
+    )

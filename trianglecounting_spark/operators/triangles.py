@@ -455,7 +455,18 @@ def triangle_enumerate_kernel(
     vectorized intersection kernel instead of the three-way sort-merge join
     (the SMJ streams the full wedge-candidate volume through two shuffles;
     the kernel touches it in-place against Arrow buffers)."""
-    laid_out, hub_bc = _edges_with_dst_adjacency(edges, num_partitions, hub_k)
+    d = orient_dodg(edges).localCheckpoint(eager=False)
+    return triangle_enumerate_from_dodg(d, num_partitions, hub_k)
+
+
+def triangle_enumerate_from_dodg(
+    d: DataFrame, num_partitions: int | None = None, hub_k: int | None = None
+) -> DataFrame:
+    """`triangle_enumerate_kernel` over an already-materialized DODG —
+    callers that also join against the DODG afterwards (e.g. the 4-clique
+    extension in `operators/motifs.py`) build it once and share it."""
+    adj = adjacency(d, num_partitions).localCheckpoint(eager=False)
+    laid_out, hub_bc = _layout_from_dodg(d, adj, num_partitions, hub_k)
     return laid_out.mapInArrow(
         _make_tc_partition_enumerate(hub_bc), schema="a long, b long, c long"
     )

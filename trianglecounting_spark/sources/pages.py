@@ -100,6 +100,48 @@ def pages_to_edges(pages: DataFrame) -> DataFrame:
     return links.join(src_d, "src_url").join(dst_d, "dst_url").select("src", "dst")
 
 
+# Anchor pairs: href + inner text of the same <a> tag. Two extract_all
+# passes over one pattern, zipped positionally — both engines' regex
+# libraries (Java / RE2) agree on this subset.
+ANCHOR_RE = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_text_terms(pages: DataFrame) -> DataFrame:
+    """Per-target anchor-text term counts: ``(dst_host, term, n)``.
+
+    Anchor text pointing AT a page is the classic off-page relevance signal
+    (how the rest of the web describes the target); aggregating it per
+    target host is a standard crawl-pipeline stage. Terms are
+    whitespace-split, lowercased anchor words.
+
+    Scale: one explode (bounded by anchors-per-page) + one count groupBy.
+    The group key (dst_host, term) concentrates on mega-hosts exactly like
+    ``host_link_graph``'s — the count agg is map-side combined, so a hot
+    (host, term) cell costs one partial per partition, never a row pileup.
+    """
+    h = F.decode(F.col("html"), "UTF-8")
+    hrefs = F.regexp_extract_all(h, F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(h, F.lit(ANCHOR_RE), 2)
+    pairs = pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("atext"))).alias("z"),
+    ).select("src_url", F.col("z.href").alias("href"), F.col("z.atext").alias("atext"))
+    href = F.regexp_replace(F.trim(F.col("href")), "#.*$", "")
+    base = F.regexp_extract(F.col("src_url"), r"^(https?://[^/]+)", 1)
+    dst = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("/"), F.concat(base, href))
+        .otherwise(F.concat(base, F.lit("/"), href))
+    )
+    terms = pairs.select(
+        F.regexp_extract(dst, r"^https?://([^/]+)", 1).alias("dst_host"),
+        F.explode(F.split(F.lower(F.trim(F.col("atext"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    return terms.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def host_link_graph(pages: DataFrame) -> DataFrame:
     """Host-level rollup of the hyperlink graph: (src_host, dst_host,
     n_links) with n_links the number of href occurrences between the hosts —
