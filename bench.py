@@ -49,6 +49,8 @@ def main() -> None:
     from trianglecounting_spark.operators.ktruss import ktruss, ktruss_incremental
     from trianglecounting_spark.operators.scc import scc
     from trianglecounting_spark.operators.bfs import bfs_distances
+    from trianglecounting_spark.operators.motifs import four_clique_count, square_count
+    from trianglecounting_spark.operators.hyperball import hyperball_balls
     from trianglecounting_spark.functions import dedup as dd
     from trianglecounting_spark.functions import similarity as sim
     from trianglecounting_spark.functions import textstats as ts
@@ -253,6 +255,21 @@ def main() -> None:
         timed_rep(
             "ktruss_fixpoint_k6",
             lambda: ktruss(edges, k=6, max_iterations=30).count(),
+        )
+        # round-5 motif/ANF lanes (probe at sf0.1/32c: squares 34 s —
+        # the honest exact-codegree wedge volume; 4-cliques 19 s;
+        # hyperball 21 s for 3 merge rounds on the sampled subgraph)
+        timed_rep(
+            "square_count",
+            lambda: square_count(edges).collect()[0].squares,
+        )
+        timed_rep(
+            "four_clique_count",
+            lambda: four_clique_count(edges).collect()[0].four_cliques,
+        )
+        timed_rep(
+            "hyperball_t3",
+            lambda: hyperball_balls(_sampled(edges), t=3).count(),
         )
 
     # peel-tail regime (measured once — an A/B, not a steady-state metric):

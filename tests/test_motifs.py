@@ -7,7 +7,11 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from trianglecounting_spark.operators.motifs import four_clique_count, square_count
+from trianglecounting_spark.operators.motifs import (
+    four_clique_count,
+    square_count,
+    square_count_codeg,
+)
 from trianglecounting_spark.sources import generators as g
 
 
@@ -73,4 +77,7 @@ def test_rmat_differential_vs_bruteforce_sql(spark):
         "ON n1.src = n2.src AND n1.dst < n2.dst GROUP BY n1.dst, n2.dst) "
         "SELECT CAST(sum(cd * (cd - 1) DIV 2) DIV 2 AS LONG) FROM codeg"
     ).collect()[0][0]
+    # both square plans — the degree-ordered wedge-pair identity and the
+    # naive codeg twin — against the independent SQL aggregate
     assert square_count(e).collect()[0][0] == brute_squares
+    assert square_count_codeg(e).collect()[0][0] == brute_squares

@@ -15,20 +15,42 @@ degree-ordered triangle enumeration:
   (`triangles.triangle_enumerate_from_dodg`); the extension is three
   shuffle joins Catalyst plans (AQE skew-splits a hot c).
 
-* ``square_count`` — global 4-cycle count via the co-degree identity
-  C4 = ½ · Σ_{u<w} C(codeg(u,w), 2): every 4-cycle {a,b,c,d} is counted once
-  by each of its two diagonals. codeg pairs are generated per wedge center
-  (the same Σ deg² volume the per-vertex clustering lane already carries) and
-  aggregated by the unordered endpoint pair. All-integer arithmetic → exact,
-  partitioning-invariant counts.
+* ``square_count`` — global 4-cycle count via the degree-ordered wedge-pair
+  identity (the ESCAPE scheme, Pinar/Seshadhri/Vishal WWW'17 §4): with ≺ the
+  DODG total order (degree, then id), classify each 4-cycle by the rank of
+  the vertex OPPOSITE the cycle minimum, and every case is covered by pairs
+  of wedges from just the two CHEAP directed families —
+
+      oo(x,y) = |{m : m→x ∧ m→y}|      (center ranked below both endpoints)
+      p2(x,y) = |{m : x→m→y}|          (center ranked between the endpoints)
+
+      C4 = Σ_{x≺y} [ C(oo,2) + oo·p2 + C(p2,2) ]
+
+  The expensive family — centers ranked ABOVE both endpoints, the
+  C(indeg,2) hub blowup — never appears: a cycle whose second wedge has a
+  top-ranked center is counted from its other diagonal, where that same
+  wedge is a directed 2-path. Enumeration volume is Σ C(outdeg,2) +
+  Σ indeg·outdeg — the triangle kernel's own probe-volume class (O(α·m)),
+  versus Σ deg² for naive codegree. ``square_count_codeg`` keeps the naive
+  co-degree identity (C4 = ½ Σ C(codeg,2)) as the declarative twin: it IS
+  the DuckDB oracle's shape and the pytest differential partner.
+
+  Measured (local[32], identical counts asserted): on the near-regular
+  sf0.1 copart graph (avg deg 120, no hubs) the two are even (~15 s both —
+  fixed shuffle costs dominate); on heavy-tailed R-MAT ef=16 the ordered
+  form wins 5.2× at scale 16 (27 s vs 140 s; max deg 9.7 k, 620 M naive
+  wedges) and 17.9× at scale 17 (20 s vs 357 s; max deg 15.6 k, 1.72 G
+  naive wedges) — the gap grows with skew because naive wedge volume is
+  quadratic in hub degree while the ordered families stay bounded.
 
 Scale notes: the 4-clique extension joins carry one row per (triangle ×
 out-neighbor of its top corner) — Σ_tri outdeg(c) ≤ triangles · O(√m), the
 same bound kClist proves; no broadcast of the big side, all three joins are
-plain shuffles on (c), (b,x), (a,x). The square lane's wedge volume is the
-honest cost of exact codegree (hub centers dominate); the groupBy key (u,w)
-is pair-valued so reducer skew is mild, and the count agg is map-side
-combined. Both return 1-row exact LongType DataFrames.
+plain shuffles on (c), (b,x), (a,x). The square lane's two wedge joins key
+on the center m (out-degree capped by degree ordering ⇒ bounded fan-out even
+at hub centers) and aggregate on the unordered endpoint pair — map-side
+combined, mild reducer skew. All-integer arithmetic → exact,
+partitioning-invariant counts; both return 1-row exact LongType DataFrames.
 """
 
 from __future__ import annotations
@@ -81,13 +103,56 @@ def four_clique_sql(edges_sql: str) -> str:
 
 
 def square_count(edges: DataFrame) -> DataFrame:
-    """Exact global 4-cycle (square) count. Output: one row
-    ``(squares: long)``.
+    """Exact global 4-cycle (square) count, degree-ordered (see module
+    docstring for the identity and why no C(indeg,2) family is needed).
+    Output: one row ``(squares: long)``.
 
-    codeg(u,w) is built from the symmetric edge table self-joined on the
-    wedge center with ``dst_1 < dst_2`` canonicalizing the pair; the final
-    ÷2 (each square has two diagonals) is exact — Σ C(codeg,2) is provably
-    even — so everything stays in int64 (``div``, never float division).
+    The two wedge families are canonicalized to the SAME unordered endpoint
+    key: p2 pairs are (src≺dst) by construction (x ≺ m ≺ y transits); oo
+    pairs order the two out-neighbors by the DODG's (degree, id) rank, read
+    from the degree table the DODG build already computed.
+    """
+    from trianglecounting_spark.operators.normalize import degrees
+
+    deg = degrees(edges).localCheckpoint(eager=False)
+    d = orient_dodg(edges, deg).localCheckpoint(eager=False)
+    dd = d.join(
+        deg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_dst")), "dst"
+    )
+    a = dd.select(
+        F.col("src").alias("m"), F.col("dst").alias("x"), F.col("deg_dst").alias("dx")
+    )
+    b = dd.select(
+        F.col("src").alias("m"), F.col("dst").alias("y"), F.col("deg_dst").alias("dy")
+    )
+    oo = (
+        a.join(b, "m")
+        .where(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_oo"))
+    )
+    e1 = d.select(F.col("src").alias("x"), F.col("dst").alias("m"))
+    e2 = d.select(F.col("src").alias("m"), F.col("dst").alias("y"))
+    p2 = e1.join(e2, "m").groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_p2"))
+    both = oo.join(p2, ["x", "y"], "full_outer").select(
+        F.coalesce("n_oo", F.lit(0)).alias("o"), F.coalesce("n_p2", F.lit(0)).alias("p")
+    )
+    return both.agg(
+        F.sum(F.expr("o * (o - 1) div 2 + o * p + p * (p - 1) div 2"))
+        .cast("long")
+        .alias("squares")
+    )
+
+
+def square_count_codeg(edges: DataFrame) -> DataFrame:
+    """Naive co-degree twin of ``square_count`` (the DuckDB oracle's shape):
+    C4 = ½ Σ_{u<w} C(codeg(u,w), 2) — every 4-cycle counted once per
+    diagonal. Full Σ deg² wedge volume; kept as the differential partner.
+    The final ÷2 is exact (Σ C(codeg,2) is provably even), so everything
+    stays in int64 (``div``, never float division).
     """
     sym = undirect(edges).localCheckpoint(eager=False)
     n1 = sym.select(F.col("src").alias("ctr"), F.col("dst").alias("u"))
