@@ -76,6 +76,8 @@ from trianglecounting_spark.operators.kcore import (
     kcore_unrolled_sql,
 )
 from trianglecounting_spark.operators.hyperball import (
+    closeness_centrality_approx,
+    closeness_centrality_unrolled_sql,
     harmonic_centrality_approx,
     harmonic_centrality_unrolled_sql,
     hyperball_balls,
@@ -819,6 +821,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["harmonic_centrality"] = lambda s, d: harmonic_centrality_approx(
         _sampled_edges(s, d), t_max=3
     )
+    q["closeness_centrality"] = lambda s, d: closeness_centrality_approx(
+        _sampled_edges(s, d), t_max=3
+    )
 
     # IVF-style ANN (the inverted-file scale path next to the LSH member):
     # deterministic seed centroids make the full result oracle-exact
@@ -881,6 +886,7 @@ def extra_oracle_sql() -> dict[str, str]:
     o["square_count"] = square_count_sql(_E)
     o["hyperball_balls"] = hyperball_unrolled_sql(_SAMPLED_E, t=3)
     o["harmonic_centrality"] = harmonic_centrality_unrolled_sql(_SAMPLED_E, t_max=3)
+    o["closeness_centrality"] = closeness_centrality_unrolled_sql(_SAMPLED_E, t_max=3)
     o["anchor_text_terms"] = (
         f"WITH p AS ({_DOC_PAGES_URLS}), "
         "terms AS (SELECT regexp_extract(t1, '^https?://([^/]+)', 1) AS dst_host, "

@@ -49,6 +49,19 @@ def test_effective_diameter_small_graphs(spark):
     assert 6.0 < d <= 15.0
 
 
+def test_closeness_centrality_star(spark):
+    """Star S_16: exact farness(center) = 16, r = 17 → C = 16/16 = 1.0;
+    leaf farness = 1 + 15·2 = 31 → C = 16/31 ≈ 0.516. t=2 truncation is
+    exact (the star's diameter). Assert 25% relative accuracy."""
+    from trianglecounting_spark.operators.hyperball import closeness_centrality_approx
+
+    st = g.star_graph(spark, 17)  # center 0 + 16 leaves
+    c = {r["v"]: r["closeness"] for r in closeness_centrality_approx(st, 2).collect()}
+    assert abs(c[0] - 1.0) < 0.25
+    leaves = [c[v] for v in c if v != 0]
+    assert all(abs(x - 16.0 / 31.0) / (16.0 / 31.0) < 0.25 for x in leaves)
+
+
 def test_harmonic_centrality_star(spark):
     """Star S_16: exact H(center) = 16, H(leaf) = 1 + 15/2 = 8.5 (truncation
     at t=2 is exact — the star's diameter). Assert 25% relative accuracy."""

@@ -207,12 +207,27 @@ def harmonic_centrality_approx(edges: DataFrame, t_max: int) -> DataFrame:
 
         H(v) ≈ Σ_{t=1..t_max} (b_t(v) − b_{t−1}(v)) / t .
 
-    One pass of t_max merge rounds; the accumulator rides along as a plain
-    column (join on v per round, both sides checkpointed — no lineage
-    growth). Output: ``(v, harmonic: double)`` rounded to 6 dp.
+    Output: ``(v, harmonic: double)`` rounded to 6 dp.
+    """
+    acc = _ball_delta_accumulate(edges, t_max, "inv")
+    return acc.select("v", F.expr(_round6("h")).alias("harmonic"))
+
+
+def _ball_delta_accumulate(edges: DataFrame, t_max: int, weight: str) -> DataFrame:
+    """Shared HyperBall accumulation loop: run ``t_max`` merge rounds and fold
+    the per-round ball-estimate deltas into one accumulator column,
+
+        acc = Σ_{t=1..t_max} (b_t(v) − b_{t−1}(v)) <op> t
+
+    with ``weight`` = ``"inv"`` (÷ t — harmonic centrality) or ``"mul"``
+    (× t — farness / distance sum). One pass of t_max merge rounds; the
+    accumulator rides along as a plain column (join on v per round, both
+    sides checkpointed — no lineage growth). Output:
+    ``(v, h: double, prev_b: double)`` with ``prev_b`` = b_{t_max}(v), both
+    un-rounded.
 
     Estimate deltas can be slightly negative (two independent HLL reads);
-    they are kept as-is — the SQL oracle does the identical arithmetic, and
+    they are kept as-is — the SQL oracles do the identical arithmetic, and
     truncation/clamping choices would be estimator policy, not correctness.
     """
     j_expr, rho_expr = _register_exprs()
@@ -241,18 +256,58 @@ def harmonic_centrality_approx(edges: DataFrame, t_max: int) -> DataFrame:
         )
         state, _ = tracked_checkpoint(merged)
         cur = ests(state)
+        delta = F.col("b") - F.col("prev_b")
+        step = delta / F.lit(float(t)) if weight == "inv" else delta * F.lit(float(t))
         acc = acc.join(cur, "v").select(
-            "v",
-            (F.col("h") + (F.col("b") - F.col("prev_b")) / F.lit(float(t))).alias("h"),
-            F.col("b").alias("prev_b"),
+            "v", (F.col("h") + step).alias("h"), F.col("b").alias("prev_b")
         )
         acc, _ = tracked_checkpoint(acc)
-    return acc.select("v", F.expr(_round6("h")).alias("harmonic"))
+    return acc
+
+
+# Shared final-projection text for closeness: farness f = Σ t·Δb, reachable
+# r = b_{t_max}; truncated closeness = (r − 1) / f, 0 where the (estimated)
+# farness is not positive. One IEEE division of engine-identical inputs.
+_CLOSENESS_FINAL = "CASE WHEN {f} > 0.0 THEN ({r} - 1.0) / {f} ELSE 0.0 END"
+
+
+def closeness_centrality_approx(edges: DataFrame, t_max: int) -> DataFrame:
+    """Approximate (truncated) closeness centrality — the other geometric
+    centrality of Boldi & Vigna 2013: with farness
+    f(v) = Σ_{t=1..t_max} t · (b_t(v) − b_{t−1}(v)) ≈ Σ_u d(v,u) and
+    reachable-set size r(v) = b_{t_max}(v),
+
+        C(v) ≈ (r(v) − 1) / f(v)
+
+    (the disconnected-graph normalization: average distance over the
+    reachable set only, so small isolated components don't get inflated
+    scores). Output: ``(v, closeness: double)`` rounded to 6 dp.
+    """
+    acc = _ball_delta_accumulate(edges, t_max, "mul")
+    final = _CLOSENESS_FINAL.format(f="h", r="prev_b")
+    return acc.select("v", F.expr(_round6(final)).alias("closeness"))
 
 
 def harmonic_centrality_unrolled_sql(edges_sql: str, t_max: int) -> str:
     """DuckDB twin of ``harmonic_centrality_approx`` — same unrolled rounds,
     same per-round estimate text, same accumulation arithmetic."""
+    return _accum_unrolled_sql(edges_sql, t_max, "inv", "{h}", "harmonic")
+
+
+def closeness_centrality_unrolled_sql(edges_sql: str, t_max: int) -> str:
+    """DuckDB twin of ``closeness_centrality_approx`` — farness fold (× t)
+    plus the shared truncated-closeness final projection."""
+    final = _CLOSENESS_FINAL.format(f="{h}", r="{r}")
+    return _accum_unrolled_sql(edges_sql, t_max, "mul", final, "closeness")
+
+
+def _accum_unrolled_sql(
+    edges_sql: str, t_max: int, weight: str, final_fmt: str, colname: str
+) -> str:
+    """Shared SQL twin of ``_ball_delta_accumulate``: unrolled merge rounds,
+    per-round estimate CTEs, and a left-fold of the deltas exactly as the
+    Spark loop computes it — (((0 + Δ1 op 1) + Δ2 op 2) + …). ``final_fmt``
+    formats {h} (the fold) and {r} (= b_{t_max}) into the output column."""
     j_expr, rho_expr = _register_exprs()
     est = _estimate_expr()
     parts = [
@@ -276,16 +331,17 @@ def harmonic_centrality_unrolled_sql(edges_sql: str, t_max: int) -> str:
             f"b{i} AS MATERIALIZED (SELECT v, {est} AS b FROM (SELECT v, count(*) AS nnz, "
             f"sum(1.0 / power(2.0, rho)) AS snz FROM s{i} GROUP BY v))"
         )
-    # left-fold the accumulator exactly as the Spark loop does: (((0 + d1/1) + d2/2) + ...)
     h = "0.0"
     for i in range(1, t_max + 1):
-        h = f"({h} + (b{i}.b - b{i-1}.b) / {float(i)})"
+        op = "/" if weight == "inv" else "*"
+        h = f"({h} + (b{i}.b - b{i-1}.b) {op} {float(i)})"
     joins = "b0 " + " ".join(
         f"JOIN b{i} ON b{i}.v = b0.v" for i in range(1, t_max + 1)
     )
+    final = final_fmt.format(h=h, r=f"b{t_max}.b")
     return (
         ", ".join(parts)
-        + f" SELECT b0.v AS v, {_round6(h)} AS harmonic FROM {joins}"
+        + f" SELECT b0.v AS v, {_round6(final)} AS {colname} FROM {joins}"
     )
 
 
