@@ -71,6 +71,8 @@ from trianglecounting_spark.operators.ktruss import (
     ktruss_unrolled_sql,
 )
 from trianglecounting_spark.operators.kcore import (
+    coreness,
+    coreness_unrolled_sql,
     kcore,
     kcore_rounds,
     kcore_unrolled_sql,
@@ -785,6 +787,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sampled_edges(s, d), k=8, max_iterations=30
     )
 
+    # full core decomposition in ONE fixpoint (round 5): per-vertex core
+    # numbers via the distributed h-index recurrence (Lü et al. 2016) —
+    # subsumes per-k peels for tiering; differential-tested against kcore
+    # membership in test_iterative.py
+    q["coreness"] = lambda s, d: coreness(_edges(s, d))
+
     # host-level web rollup: the hyperlink graph aggregated to (host, host)
     # with link multiplicities — the site-graph input for host PageRank
     q["host_graph"] = lambda s, d: PG.host_link_graph(_doc_pages(s, d))
@@ -808,6 +816,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_scrub"] = lambda s, d: TS.pii_scrub(_docs_with_pii(s, d))
+
+    # Gopher-style quality rules (Rae et al. 2021): per-doc features + fused
+    # keep verdict — the standard pre-training corpus filter, one narrow map
+    q["gopher_quality"] = lambda s, d: TS.gopher_rules(_docs(s, d))
 
     # higher-order motifs (round 5): the kClist-style k=4 extension of the
     # reference's degree-ordered kernel, and the codeg-identity square count
@@ -874,6 +886,9 @@ def extra_oracle_sql() -> dict[str, str]:
     o["cosine_topk_kernel"] = SIM.cosine_topk_sql(k=5)
     o["ktruss_fixpoint_incr"] = ktruss_unrolled_sql(_E, k=6, rounds=7)
     o["kcore_fixpoint_incr"] = kcore_unrolled_sql(_SAMPLED_E, k=8, rounds=8)
+    # 25 unrolled h-index rounds ≥ the measured fixpoint depth at sf0.01
+    # (the recurrence is idempotent once converged, so extra rounds match)
+    o["coreness"] = coreness_unrolled_sql(_E, rounds=25)
     o["host_graph"] = (
         f"WITH p AS ({_DOC_PAGES_URLS}), "
         "links AS (SELECT src_url, t1 AS dst_url FROM p "
@@ -896,6 +911,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "FROM terms GROUP BY dst_host, term"
     )
     o["ann_ivf_topk"] = SIM.ann_ivf_topk_sql(n_cells=16, nprobe=2, k=5)
+    o["gopher_quality"] = TS.gopher_rules_sql()
     o["pii_scrub"] = TS.pii_scrub_sql(
         "(SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || "
         "'@example.com or call +1-555-' || "

@@ -47,6 +47,7 @@ def main() -> None:
     from trianglecounting_spark.operators.components import connected_components
     from trianglecounting_spark.operators.labelprop import label_propagation
     from trianglecounting_spark.operators.ktruss import ktruss, ktruss_incremental
+    from trianglecounting_spark.operators.kcore import coreness
     from trianglecounting_spark.operators.scc import scc
     from trianglecounting_spark.operators.bfs import bfs_distances
     from trianglecounting_spark.operators.motifs import four_clique_count, square_count
@@ -255,6 +256,11 @@ def main() -> None:
         timed_rep(
             "ktruss_fixpoint_k6",
             lambda: ktruss(edges, k=6, max_iterations=30).count(),
+        )
+        # full core decomposition in one h-index fixpoint (round 5)
+        timed_rep(
+            "coreness",
+            lambda: coreness(edges).agg(F.max("coreness")).collect(),
         )
         # round-5 motif/ANF lanes (probe at sf0.1/32c: squares 34 s —
         # the honest exact-codegree wedge volume; 4-cliques 19 s;

@@ -640,3 +640,28 @@ def test_ann_ivf_recall_and_cap(spark):
             want = sorted(m for m in members if m != v)[:3]
             if want:
                 assert sorted(per_vec.get(v, [])) == want
+
+
+def test_gopher_rules_each_rule(spark):
+    """Each Gopher rule fires on a purpose-built document; a plain long
+    English paragraph passes all seven."""
+    good = ("the quick brown fox jumps over the lazy dog and it runs far "
+            "with great speed for many days in the wild open country ") * 3
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                   # passes everything
+            (1, "the and of to in is that for it with"), # too few words
+            (2, good + " ##### ##### ##### #####" * 9),  # symbol-heavy
+            (3, "\n".join(f"- {good[:40]}" for _ in range(10))),   # bullets
+            (4, "\n".join(f"{good[:40]}..." for _ in range(10))),  # ellipses
+            (5, ("12345 67890 " * 30) + "the and is"),   # numeric words
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in ts.gopher_rules(docs).collect()}
+    assert r[0].keep
+    assert not r[1].keep and r[1].n_words == 10
+    assert not r[2].keep and r[2].symbol_ratio > 0.1
+    assert not r[3].keep and r[3].bullet_ratio == 1.0
+    assert not r[4].keep and r[4].ellipsis_ratio == 1.0
+    assert not r[5].keep and r[5].alpha_word_ratio < 0.8

@@ -592,3 +592,32 @@ def test_incremental_peels_survive_deep_cascades(spark):
     # growth past depth ~11, i.e. hours at these depths
     assert kcore_wall < 300, kcore_wall
     assert ktruss_wall < 300, ktruss_wall
+
+
+def test_coreness_closed_forms_and_kcore_membership(spark):
+    """Per-vertex core numbers from the h-index fixpoint == the k-core
+    membership hierarchy: coreness(v) >= k  iff  v survives in kcore(G, k)."""
+    from trianglecounting_spark.operators.kcore import coreness, kcore
+
+    e = g.two_cliques_bridge(spark)
+    cn = {r.v: r.coreness for r in coreness(e).collect()}
+    # every vertex sits in the 5-core; nobody in the 6-core (see
+    # test_kcore_closed_forms) -> coreness is exactly 5 everywhere
+    assert set(cn.values()) == {5}
+
+    # star: hub and leaves all unravel at k=2 -> coreness 1 everywhere
+    star = {r.v: r.coreness for r in coreness(g.star_graph(spark, 20)).collect()}
+    assert set(star.values()) == {1}
+
+    # sampled sf0.001 subgraph: cross-check the full decomposition against
+    # independent kcore peels at several k
+    import __spark_entry__ as entry
+
+    se = entry._sampled_edges(spark, SF_SMALL)
+    cn = {r.v: r.coreness for r in coreness(se).collect()}
+    for k in (2, 4, 8):
+        members = set()
+        for r in kcore(se, k, max_iterations=50).collect():
+            members.add(r.u)
+            members.add(r.v)
+        assert members == {v for v, c in cn.items() if c >= k}, f"k={k}"

@@ -671,3 +671,104 @@ def pii_scrub_sql(docs_rel: str = "documents") -> str:
         f"'{p}', '[PHONE]', 'g')) AS scrubbed_fp "
         f"FROM {docs_rel}"
     )
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, appendix A1.1 —
+    the de-facto standard pre-training text filter), as one pure-Column pass:
+
+      * 50 ≤ word count ≤ 100 000
+      * 3 ≤ mean word length ≤ 10
+      * symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1
+      * ≤ 90% of lines start with a bullet ('-' or '*')
+      * ≤ 30% of lines end with an ellipsis
+      * ≥ 80% of words contain an alphabetic character
+      * ≥ 2 English stop words
+
+    Output one row per document with every measured feature plus the fused
+    ``keep`` verdict, so downstream can either filter on ``keep`` or re-cut
+    on individual rules. All thresholds inclusive as stated; floats rounded
+    to 6dp for oracle parity. Tokenization/line-splitting are hoisted into
+    their own projection (interpreted HOF Projects do no CSE — see
+    quality_score). Scale: a narrow per-row map, no shuffle at all.
+    """
+    tokked = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("__toks"),
+        F.split(F.col("text"), "\n").alias("__lines"),
+    )
+    toks, lines = F.col("__toks"), F.col("__lines")
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.round(word_chars / F.greatest(n_words, F.lit(1)), 6)
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = F.round(
+        (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)), 6
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*]"))).cast("long")
+    n_ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))).cast("long")
+    bullet_ratio = F.round(n_bullet / F.greatest(n_lines, F.lit(1)), 6)
+    ellipsis_ratio = F.round(n_ell_end / F.greatest(n_lines, F.lit(1)), 6)
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long")
+    alpha_ratio = F.round(n_alpha / F.greatest(n_words, F.lit(1)), 6)
+    en_stops = F.array(*[F.lit(s) for s in _STOP["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en_stops, w))).cast("long")
+    out = tokked.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.alias("n_stop"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_ratio") <= 0.9)
+        & (F.col("ellipsis_ratio") <= 0.3)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return out.withColumn("keep", keep)
+
+
+def gopher_rules_sql(docs_sql: str = "documents") -> str:
+    """DuckDB twin of ``gopher_rules`` — shared regexes/thresholds/rounding."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '{WORD_RE.replace("'", "''")}') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM {docs_sql}
+), f AS (
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_words,
+  round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS mean_word_len,
+  round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         + (length(text) - length(replace(text, '...', ''))) / 3.0)
+        / greatest(len(toks), 1), 6) AS symbol_ratio,
+  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]'))) AS DOUBLE)
+        / greatest(len(lines), 1), 6) AS bullet_ratio,
+  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS DOUBLE)
+        / greatest(len(lines), 1), 6) AS ellipsis_ratio,
+  round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS alpha_word_ratio,
+  CAST(len(list_filter(toks, w -> list_contains({_STOP['en']!r}, w))) AS BIGINT) AS n_stop
+FROM t)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+   AND alpha_word_ratio >= 0.8 AND n_stop >= 2) AS keep
+FROM f ORDER BY doc_id
+""".strip()

@@ -181,3 +181,92 @@ def kcore_incremental(
         d_state, d_ids = new_d, new_d_ids
     release_ids(spark, d_ids)
     return e_state
+
+
+def coreness(edges: DataFrame, max_iterations: int = 200) -> DataFrame:
+    """Per-vertex core number ``(v, coreness)`` via the distributed h-index
+    fixpoint (Lü et al., "The H-index of a network node", Nature Comms 2016):
+
+        h_0(v)   = deg(v)
+        h_t+1(v) = H({ h_t(u) : u ~ v })   (H = the h-index operator)
+
+    h is elementwise monotone non-increasing and converges to the core number
+    — the whole decomposition in one fixpoint instead of one ``kcore`` peel
+    per k. Absent from the reference (a TC engine, no vertex hierarchy);
+    added for the link-graph suite (web-spam / importance tiers).
+
+    Plan shape per round: one shuffle join (adjacency ⋈ h on the neighbor
+    id) + one per-vertex window sort + one aggregate — all Column
+    expressions, integer-exact, so partitioning-invariant. The h-index of a
+    multiset is order-independent under ties, so the row_number tiebreak
+    never changes the result. Convergence is detected on sum(h), which
+    strictly decreases every non-fixpoint round (exact int64 — no epsilon).
+    The static adjacency stays persisted across rounds; the h state is
+    checkpointed per round (eager localCheckpoint, tracked) so no action
+    replays lineage.
+
+    Scale: per-round cost is one |2E| join + window — the same shape as
+    adjacency materialization; rounds needed is small in practice (≤ ~20 on
+    web-like graphs; bounded by the longest strictly-decreasing h chain).
+    """
+    spark = edges.sparkSession
+    from pyspark.sql import Window
+
+    adj, adj_ids = tracked_checkpoint(
+        edges.select("u", "v").unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    h, h_ids = tracked_checkpoint(
+        adj.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+        .select(F.col("u").alias("v"), "h")
+    )
+    total = h.agg(F.sum("h")).collect()[0][0]
+    hn_cols = [F.col("v").alias("__nbr"), F.col("h").alias("__nh")]
+    w = Window.partitionBy("u").orderBy(F.col("__nh").desc(), F.col("v").asc())
+    for it in range(1, max_iterations + 1):
+        new_plan = (
+            adj.join(h.select(*hn_cols), F.col("v") == F.col("__nbr"))
+            .withColumn("__rnk", F.row_number().over(w).cast("long"))
+            .groupBy("u")
+            .agg(F.max(F.least(F.col("__rnk"), F.col("__nh"))).alias("h"))
+            .select(F.col("u").alias("v"), "h")
+        )
+        before = persistent_rdd_ids(spark)
+        if it % _BARRIER_EVERY == 0:
+            new_h, new_ids = barrier_checkpoint(new_plan)
+        else:
+            new_h, new_ids = tracked_checkpoint(new_plan, before=before)
+        new_total = new_h.agg(F.sum("h")).collect()[0][0]
+        release_ids(spark, h_ids)
+        h, h_ids = new_h, new_ids
+        if new_total == total:
+            break
+        total = new_total
+    release_ids(spark, adj_ids)
+    return h.select("v", F.col("h").alias("coreness"))
+
+
+def coreness_unrolled_sql(edges_sql: str, rounds: int) -> str:
+    """DuckDB oracle for ``coreness``: the identical h-index recurrence
+    unrolled a fixed number of rounds (the operator is idempotent at the
+    fixpoint, so any rounds ≥ the measured convergence depth matches)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "adj AS MATERIALIZED (SELECT u, v FROM e "
+        "UNION ALL SELECT v AS u, u AS v FROM e)",
+        "h0 AS MATERIALIZED (SELECT u AS v, CAST(count(*) AS BIGINT) AS h "
+        "FROM adj GROUP BY u)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"h{r+1} AS MATERIALIZED (SELECT u AS v, "
+            "CAST(max(least(rnk, nh)) AS BIGINT) AS h FROM ("
+            f"SELECT a.u, h.h AS nh, row_number() OVER (PARTITION BY a.u "
+            f"ORDER BY h.h DESC, a.v ASC) AS rnk "
+            f"FROM adj a JOIN h{r} h ON h.v = a.v) GROUP BY u)"
+        )
+    return ", ".join(parts) + (
+        f" SELECT v, h AS coreness FROM h{rounds} ORDER BY v"
+    )
