@@ -94,6 +94,7 @@ from trianglecounting_spark.operators.motifs import (
 from trianglecounting_spark.functions import textstats as TS
 from trianglecounting_spark.functions import dedup as DD
 from trianglecounting_spark.functions import similarity as SIM
+from trianglecounting_spark.functions import clustering as CL
 from trianglecounting_spark.sources import pages as PG
 
 # ---------------------------------------------------------------------------
@@ -837,6 +838,30 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sampled_edges(s, d), t_max=3
     )
 
+    # deterministic random walks (DeepWalk corpus): counter-based integer
+    # hash picks each step's neighbor, so entire walks are bit-portable
+    from trianglecounting_spark.operators.walks import random_walks
+
+    q["random_walks"] = lambda s, d: random_walks(
+        _sampled_edges(s, d), walk_len=4
+    )
+
+    # deterministic k-means over the integer grid (exact-numerator
+    # distances -> bit-portable assignments) and SemDeDup on top of it:
+    # cluster-bounded cosine dedup, the embedding-side scale path
+    q["kmeans_clusters"] = lambda s, d: CL.kmeans_assign(
+        s.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        k=8, iters=3,
+    )
+    q["semantic_dedup"] = lambda s, d: CL.semantic_dedup(
+        s.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        k=8, iters=3, threshold=0.2,
+    )
+
     # IVF-style ANN (the inverted-file scale path next to the LSH member):
     # deterministic seed centroids make the full result oracle-exact
     q["ann_ivf_topk"] = lambda s, d: SIM.ann_ivf_topk(
@@ -912,6 +937,11 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     o["ann_ivf_topk"] = SIM.ann_ivf_topk_sql(n_cells=16, nprobe=2, k=5)
     o["gopher_quality"] = TS.gopher_rules_sql()
+    from trianglecounting_spark.operators.walks import random_walks_sql
+
+    o["random_walks"] = random_walks_sql(_SAMPLED_E, walk_len=4)
+    o["kmeans_clusters"] = CL.kmeans_assign_sql(k=8, iters=3)
+    o["semantic_dedup"] = CL.semantic_dedup_sql(k=8, iters=3, threshold=0.2)
     o["pii_scrub"] = TS.pii_scrub_sql(
         "(SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || "
         "'@example.com or call +1-555-' || "

@@ -48,6 +48,7 @@ def main() -> None:
     from trianglecounting_spark.operators.labelprop import label_propagation
     from trianglecounting_spark.operators.ktruss import ktruss, ktruss_incremental
     from trianglecounting_spark.operators.kcore import coreness
+    from trianglecounting_spark.functions import clustering as cl
     from trianglecounting_spark.operators.scc import scc
     from trianglecounting_spark.operators.bfs import bfs_distances
     from trianglecounting_spark.operators.motifs import four_clique_count, square_count
@@ -243,6 +244,12 @@ def main() -> None:
         timed_rep(
             "ann_lsh_topk",
             lambda: sim.ann_lsh_topk(emb, dim=64, k=5, n_planes=6, tables=2).count(),
+        )
+        # SemDeDup: deterministic k-means + cluster-bounded cosine dedup
+        timed_rep(
+            "semantic_dedup",
+            lambda: cl.semantic_dedup(emb, k=8, iters=3, threshold=0.2)
+            .where(F.col("keep")).count(),
         )
 
     # iterative heavyweights — their own repeat count (≥2 keeps the spread)

@@ -665,3 +665,51 @@ def test_gopher_rules_each_rule(spark):
     assert not r[3].keep and r[3].bullet_ratio == 1.0
     assert not r[4].keep and r[4].ellipsis_ratio == 1.0
     assert not r[5].keep and r[5].alpha_word_ratio < 0.8
+
+
+def test_kmeans_deterministic_and_separates(spark):
+    """Two tight blobs on opposite axes end up in two clusters, every point
+    nearest its own blob; re-running yields the identical assignment."""
+    from trianglecounting_spark.functions import clustering as cl
+
+    rows = []
+    for i in range(10):           # blob A around +e0
+        rows.append((i, [1.0 + 0.01 * i, 0.0, 0.0, 0.0]))
+    for i in range(10, 20):       # blob B around +e1
+        rows.append((i, [0.0, 1.0 + 0.01 * (i - 10), 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r1 = sorted(
+        (r.vec_id, r.cluster)
+        for r in cl.kmeans_assign(emb, k=2, iters=3).collect()
+    )
+    r2 = sorted(
+        (r.vec_id, r.cluster)
+        for r in cl.kmeans_assign(emb, k=2, iters=3).collect()
+    )
+    assert r1 == r2
+    by_cluster = {}
+    for v, c in r1:
+        by_cluster.setdefault(c, set()).add(v)
+    assert sorted(map(sorted, by_cluster.values())) == [
+        list(range(10)), list(range(10, 20))
+    ]
+
+
+def test_semantic_dedup_drops_higher_id_near_dups(spark):
+    """Within a cluster, the LOWEST id of a near-dup group is kept and every
+    higher-id member is dropped; far pairs survive."""
+    from trianglecounting_spark.functions import clustering as cl
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 0 -> dropped
+            (2, [0.998, -0.002, 0.0, 0.0]),  # near-dup of 0 -> dropped
+            (3, [0.0, 1.0, 0.0, 0.0]),       # other blob, kept
+            (4, [0.001, 0.999, 0.0, 0.0]),   # near-dup of 3 -> dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r = {x.vec_id: x.keep for x in
+         cl.semantic_dedup(emb, k=2, iters=2, threshold=0.95).collect()}
+    assert r == {0: True, 1: False, 2: False, 3: True, 4: False}

@@ -81,3 +81,28 @@ def test_rmat_differential_vs_bruteforce_sql(spark):
     # naive codeg twin — against the independent SQL aggregate
     assert square_count(e).collect()[0][0] == brute_squares
     assert square_count_codeg(e).collect()[0][0] == brute_squares
+
+
+def test_random_walks_shape_and_validity(spark):
+    """Every walk starts at its walk_id, has walk_len steps, and every
+    transition follows a real (symmetric) edge; repeated runs are identical."""
+    from trianglecounting_spark.operators.walks import random_walks
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "u long, v long"
+    )
+    rows = random_walks(e, walk_len=5).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r.walk_id, {})[r.step] = r.node
+    assert set(walks) == {0, 1, 2, 3}
+    sym = {(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)}
+    sym |= {(b, a) for a, b in sym}
+    for w, steps in walks.items():
+        assert len(steps) == 5
+        assert steps[0] == w
+        for t in range(4):
+            assert (steps[t], steps[t + 1]) in sym
+    again = sorted((r.walk_id, r.step, r.node)
+                   for r in random_walks(e, walk_len=5).collect())
+    assert again == sorted((r.walk_id, r.step, r.node) for r in rows)
