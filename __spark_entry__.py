@@ -838,6 +838,29 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sampled_edges(s, d), t_max=3
     )
 
+    # BM25 ranked retrieval for a fixed query — quality-aware selection /
+    # search-eval scoring over the corpus (exact int stats, 6dp floats)
+    q["bm25_topk"] = lambda s, d: TS.bm25_topk(
+        _docs(s, d), query=["customer", "stream", "merge"], top=20
+    )
+
+    # deterministic sampling (data mixing): Bernoulli hash-filter (no
+    # shuffle) + exact per-(lang,source)-stratum quota draw in hash order
+    from trianglecounting_spark.functions import sampling as SAMP
+
+    q["hash_sample"] = lambda s, d: SAMP.hash_sample(
+        s.read.parquet(f"{d}/events.parquet").select(
+            "event_id", "user_id", "event_type"
+        ),
+        "event_id", 0.1,
+    )
+    q["stratified_sample"] = lambda s, d: SAMP.stratified_sample(
+        s.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "lang", "source"
+        ),
+        ["lang", "source"], "doc_id", cap=3,
+    )
+
     # deterministic random walks (DeepWalk corpus): counter-based integer
     # hash picks each step's neighbor, so entire walks are bit-portable
     from trianglecounting_spark.operators.walks import random_walks
@@ -938,6 +961,18 @@ def extra_oracle_sql() -> dict[str, str]:
     o["ann_ivf_topk"] = SIM.ann_ivf_topk_sql(n_cells=16, nprobe=2, k=5)
     o["gopher_quality"] = TS.gopher_rules_sql()
     from trianglecounting_spark.operators.walks import random_walks_sql
+    from trianglecounting_spark.functions import sampling as SAMP
+
+    o["bm25_topk"] = TS.bm25_topk_sql(
+        query=["customer", "stream", "merge"], top=20
+    )
+    o["hash_sample"] = SAMP.hash_sample_sql(
+        "(SELECT event_id, user_id, event_type FROM events)", "event_id", 0.1
+    )
+    o["stratified_sample"] = SAMP.stratified_sample_sql(
+        "(SELECT doc_id, lang, source FROM documents)",
+        ["lang", "source"], "doc_id", cap=3,
+    )
 
     o["random_walks"] = random_walks_sql(_SAMPLED_E, walk_len=4)
     o["kmeans_clusters"] = CL.kmeans_assign_sql(k=8, iters=3)

@@ -713,3 +713,42 @@ def test_semantic_dedup_drops_higher_id_near_dups(spark):
     r = {x.vec_id: x.keep for x in
          cl.semantic_dedup(emb, k=2, iters=2, threshold=0.95).collect()}
     assert r == {0: True, 1: False, 2: False, 3: True, 4: False}
+
+
+def test_bm25_prefers_query_dense_short_docs(spark):
+    """A document saturated with the query term outranks one that mentions it
+    once amid much other text; docs without the term score nothing."""
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple apple apple"),
+            (1, "apple " + "filler words here " * 30),
+            (2, "no relevant terms at all " * 10),
+            (3, "banana apple banana"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x.score for x in ts.bm25_topk(docs, ["apple"], top=10).collect()}
+    assert 2 not in r
+    assert r[0] > r[3] > r[1] > 0
+
+
+def test_sampling_deterministic_and_exact_quotas(spark):
+    """hash_sample is partitioning-invariant and rerun-stable; the stratified
+    draw returns exactly min(cap, |stratum|) rows per stratum."""
+    from trianglecounting_spark.functions import sampling as samp
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(300)], "id long, grp string"
+    )
+    a = sorted(r.id for r in samp.hash_sample(df, "id", 0.2).collect())
+    b = sorted(r.id for r in samp.hash_sample(df.repartition(13), "id", 0.2).collect())
+    assert a == b and 30 <= len(a) <= 90
+
+    strat = samp.stratified_sample(df, ["grp"], "id", cap=7).collect()
+    from collections import Counter
+
+    c = Counter(r.grp for r in strat)
+    assert c == {"s0": 7, "s1": 7, "s2": 7}
+    # a stratum smaller than the cap returns whole
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, grp string")
+    assert samp.stratified_sample(tiny, ["grp"], "id", cap=7).count() == 2

@@ -772,3 +772,86 @@ SELECT *,
    AND alpha_word_ratio >= 0.8 AND n_stop >= 2) AS keep
 FROM f ORDER BY doc_id
 """.strip()
+
+
+def bm25_topk(docs: DataFrame, query: list[str], top: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al., TREC-3) for one query over
+    the corpus — the classic relevance scorer a web-scale pipeline uses for
+    quality-aware selection and search evaluation.
+
+        idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
+        score(d)    = Σ_t idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    All statistics (tf, df, dl, N, avgdl·N = Σdl) are exact integers; the
+    float math is a fixed expression over them, rounded to 6dp (same ln
+    portability contract as tfidf_top_terms). Corpus size and total token
+    count ride the plan as a broadcast 1-row aggregate — no driver action.
+    Shuffles: one token-explode groupBy(doc_id, term) bounded by the QUERY
+    terms only (non-query tokens are filtered before the shuffle), plus the
+    tiny df aggregate. Output ``(doc_id, score)``, top rows by
+    (score desc, doc_id asc).
+    """
+    qarr = F.array(*[F.lit(t) for t in query])
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("__toks"),
+    )
+    dl = toks.select("doc_id", F.size("__toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("dl").cast("double").alias("__sumdl"),
+    )
+    qtoks = toks.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("__toks"), lambda w: F.array_contains(qarr, w))
+        ).alias("term"),
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n, sumdl = F.col("__n"), F.col("__sumdl")
+    idf = F.log(F.lit(1.0) + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") * n / sumdl
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(top)
+
+
+def bm25_topk_sql(query: list[str], top: int = 20, k1: float = 1.2,
+                  b: float = 0.75, docs_sql: str = "documents") -> str:
+    """DuckDB twin of ``bm25_topk`` — identical statistics and float text."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    qlist = "[" + ", ".join(f"'{t}'" for t in query) + "]"
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, {toks} AS toks FROM {docs_sql}
+), dl AS MATERIALIZED (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl FROM dl
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(toks, w -> list_contains({qlist}, w))) AS term
+    FROM tk) GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, round(sum(
+    ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+    * tf.tf * {k1 + 1.0}
+    / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl * s.n / s.sumdl))
+  ), 6) AS score
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {top}
+""".strip()
