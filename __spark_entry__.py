@@ -838,6 +838,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sampled_edges(s, d), t_max=3
     )
 
+    # gap-based sessionization over the events stream (batch form of the
+    # session_window stateful op): one shuffle on user_id, total-order key
+    from trianglecounting_spark.functions.events import sessionize
+
+    q["sessionize"] = lambda s, d: sessionize(
+        s.read.parquet(f"{d}/events.parquet"), gap_minutes=30
+    )
+
     # BM25 ranked retrieval for a fixed query — quality-aware selection /
     # search-eval scoring over the corpus (exact int stats, 6dp floats)
     q["bm25_topk"] = lambda s, d: TS.bm25_topk(
@@ -963,6 +971,9 @@ def extra_oracle_sql() -> dict[str, str]:
     from trianglecounting_spark.operators.walks import random_walks_sql
     from trianglecounting_spark.functions import sampling as SAMP
 
+    from trianglecounting_spark.functions.events import sessionize_sql
+
+    o["sessionize"] = sessionize_sql(gap_minutes=30)
     o["bm25_topk"] = TS.bm25_topk_sql(
         query=["customer", "stream", "merge"], top=20
     )

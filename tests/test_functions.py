@@ -752,3 +752,28 @@ def test_sampling_deterministic_and_exact_quotas(spark):
     # a stratum smaller than the cap returns whole
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, grp string")
     assert samp.stratified_sample(tiny, ["grp"], "id", cap=7).count() == 2
+
+
+def test_sessionize_gap_splits(spark):
+    """Events within the gap share a session; a gap strictly over the
+    threshold opens a new one; ties order by event_id."""
+    from trianglecounting_spark.functions.events import sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, 1.0),
+        (2, "2024-01-01 10:20:00", 7, 2.0),   # 20 min -> same session
+        (3, "2024-01-01 10:50:01", 7, 4.0),   # 30:01 gap -> new session
+        (4, "2024-01-01 09:00:00", 8, 8.0),   # other user
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, user_id long, value double") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    out = {(r.user_id, r.session_no): r for r in sessionize(ev, 30).collect()}
+    assert set(out) == {(7, 1), (7, 2), (8, 1)}
+    assert out[(7, 1)].n_events == 2 and out[(7, 1)].sum_value == 3.0
+    assert out[(7, 2)].n_events == 1
+    # exactly-at-gap boundary stays in the same session
+    ev2 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 9, 1.0), (2, "2024-01-01 10:30:00", 9, 1.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    assert sessionize(ev2, 30).count() == 1

@@ -1,0 +1,87 @@
+"""Event-stream analytics over the `events` table — sessionization.
+
+Gap-based sessionization (split a user's event stream wherever the gap to
+the previous event exceeds a threshold) is the canonical stateful windowing
+op of clickstream/telemetry analytics. The batch form here is two window
+functions — lag + a running sum of session-break flags — entirely
+JVM-side, shuffling once on user_id; the per-user ordering key is
+(ts, event_id), a total order, so session boundaries are deterministic even
+under timestamp ties. Timestamps are compared in epoch seconds (exact
+integer second diffs in both engines — Spark timestamp_diff / DuckDB epoch
+subtraction).
+
+Structured Streaming's native analogue is ``session_window`` (a watermarked
+state-store op — streaming/edges.py holds this repo's streaming state
+patterns); at 100 TB the batch form below is ONE shuffle keyed on user_id,
+with AQE handling hot users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user gap sessions. Output one row per session:
+    ``(user_id, session_no, start_ts, end_ts, n_events, sum_value)`` with
+    timestamps rendered as strings (engine-portable hashing, same convention
+    as the events_hourly lane) and sum_value rounded to 6dp."""
+    gap_s = gap_minutes * 60
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag(F.col("ts")).over(w)
+    brk = (
+        F.when(
+            prev.isNull()
+            | (F.timestamp_diff("SECOND", prev, F.col("ts")) > gap_s),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    flagged = events.select(
+        "user_id", "ts", "event_id", "value", brk.alias("__brk")
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("__brk").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), fmt).alias("start_ts"),
+        F.date_format(F.max("ts"), fmt).alias("end_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def sessionize_sql(gap_minutes: int = 30, events_sql: str = "events") -> str:
+    """DuckDB twin of ``sessionize`` — identical ordering key, gap rule,
+    running-sum session numbering, and output rendering."""
+    gap_s = gap_minutes * 60
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+           OR epoch(ts) - lag(epoch(ts)) OVER w > {gap_s}
+         THEN 1 ELSE 0 END AS brk
+  FROM {events_sql}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+      ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM o
+)
+SELECT user_id, session_no,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+""".strip()
