@@ -838,6 +838,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sampled_edges(s, d), t_max=3
     )
 
+    # pivot-subset betweenness (Brandes & Pich 2007): forward BFS sigma +
+    # backward dependency accumulation, both relational, 16 lowest-id pivots
+    from trianglecounting_spark.operators.centrality import betweenness_pivots
+
+    q["betweenness"] = lambda s, d: betweenness_pivots(
+        _sampled_edges(s, d), n_pivots=16
+    )
+
     # gap-based sessionization over the events stream (batch form of the
     # session_window stateful op): one shuffle on user_id, total-order key
     from trianglecounting_spark.functions.events import sessionize
@@ -972,6 +980,9 @@ def extra_oracle_sql() -> dict[str, str]:
     from trianglecounting_spark.functions import sampling as SAMP
 
     from trianglecounting_spark.functions.events import sessionize_sql
+    from trianglecounting_spark.operators.centrality import betweenness_pivots_sql
+
+    o["betweenness"] = betweenness_pivots_sql(_SAMPLED_E, n_pivots=16)
 
     o["sessionize"] = sessionize_sql(gap_minutes=30)
     o["bm25_topk"] = TS.bm25_topk_sql(

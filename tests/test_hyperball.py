@@ -72,3 +72,28 @@ def test_harmonic_centrality_star(spark):
     assert abs(h[0] - 16.0) / 16.0 < 0.25
     leaves = [h[v] for v in h if v != 0]
     assert all(abs(x - 8.5) / 8.5 < 0.25 for x in leaves)
+
+
+def test_betweenness_closed_forms(spark):
+    """Brandes pivot accumulation on shapes with known values (all vertices
+    as pivots => directed betweenness = 2x the undirected textbook value)."""
+    from trianglecounting_spark.operators.centrality import betweenness_pivots
+
+    p5 = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], "u long, v long")
+    r = {x.v: x.bc for x in betweenness_pivots(p5, n_pivots=5).collect()}
+    assert r == {0: 0.0, 1: 6.0, 2: 8.0, 3: 6.0, 4: 0.0}
+
+    # diamond: the two equal shortest paths split the dependency
+    dia = spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], "u long, v long")
+    r = {x.v: x.bc for x in betweenness_pivots(dia, n_pivots=4).collect()}
+    assert r == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}
+
+    # star: all shortest leaf-leaf paths cross the hub
+    st = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "u long, v long")
+    r = {x.v: x.bc for x in betweenness_pivots(st, n_pivots=4).collect()}
+    assert r == {0: 6.0, 1: 0.0, 2: 0.0, 3: 0.0}
+
+    # disconnected component: zero bc, still present in the output
+    two = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "u long, v long")
+    r = {x.v: x.bc for x in betweenness_pivots(two, n_pivots=7).collect()}
+    assert r[1] == 2.0 and r[5] == 0.0 and r[6] == 0.0

@@ -7,8 +7,9 @@ functions — lag + a running sum of session-break flags — entirely
 JVM-side, shuffling once on user_id; the per-user ordering key is
 (ts, event_id), a total order, so session boundaries are deterministic even
 under timestamp ties. Timestamps are compared in epoch seconds (exact
-integer second diffs in both engines — Spark timestamp_diff / DuckDB epoch
-subtraction).
+integer MICROSECOND diffs in both engines (Spark timestamp_diff / DuckDB
+epoch_us) — second-granularity diffs would truncate differently than a
+fractional epoch compare on sub-second timestamps.
 
 Structured Streaming's native analogue is ``session_window`` (a watermarked
 state-store op — streaming/edges.py holds this repo's streaming state
@@ -26,7 +27,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     ``(user_id, session_no, start_ts, end_ts, n_events, sum_value)`` with
     timestamps rendered as strings (engine-portable hashing, same convention
     as the events_hourly lane) and sum_value rounded to 6dp."""
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -34,7 +35,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     brk = (
         F.when(
             prev.isNull()
-            | (F.timestamp_diff("SECOND", prev, F.col("ts")) > gap_s),
+            | (F.timestamp_diff("MICROSECOND", prev, F.col("ts")) > gap_us),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -63,12 +64,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 def sessionize_sql(gap_minutes: int = 30, events_sql: str = "events") -> str:
     """DuckDB twin of ``sessionize`` — identical ordering key, gap rule,
     running-sum session numbering, and output rendering."""
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
     return f"""
 WITH o AS (
   SELECT user_id, ts, event_id, value,
-    CASE WHEN lag(epoch(ts)) OVER w IS NULL
-           OR epoch(ts) - lag(epoch(ts)) OVER w > {gap_s}
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
          THEN 1 ELSE 0 END AS brk
   FROM {events_sql}
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
