@@ -49,6 +49,8 @@ def main() -> None:
     from trianglecounting_spark.operators.ktruss import ktruss, ktruss_incremental
     from trianglecounting_spark.operators.kcore import coreness
     from trianglecounting_spark.functions import clustering as cl
+    from trianglecounting_spark.functions import events as EV
+    from trianglecounting_spark.operators.centrality import betweenness_pivots
     from trianglecounting_spark.operators.scc import scc
     from trianglecounting_spark.operators.bfs import bfs_distances
     from trianglecounting_spark.operators.motifs import four_clique_count, square_count
@@ -224,10 +226,28 @@ def main() -> None:
             "bfs_levels",
             lambda: bfs_distances(_sampled(edges)).agg(F.max("dist")).collect(),
         )
+        # Brandes pivot betweenness on the sampled subgraph (round 5)
+        timed_rep(
+            "betweenness_16",
+            lambda: betweenness_pivots(_sampled(edges), n_pivots=16)
+            .agg(F.sum("bc")).collect(),
+        )
         timed_rep("minhash_lsh_pairs", lambda: dd.minhash_lsh_pairs(docs).count())
         timed_rep(
             "token_quality",
             lambda: ts.quality_score(docs).agg(F.sum("n_words")).collect(),
+        )
+        timed_rep(
+            "bm25_topk",
+            lambda: ts.bm25_topk(
+                docs, ["customer", "stream", "merge"], top=20
+            ).count(),
+        )
+        timed_rep(
+            "sessionize",
+            lambda: EV.sessionize(
+                spark.read.parquet(f"{sf_dir}/events.parquet"), 30
+            ).count(),
         )
         timed_rep(
             "ngram_top_dups",

@@ -353,3 +353,69 @@ def test_streaming_window_drops_late_data_past_watermark(spark, tmp_path):
     # the 00:00 window was emitted with the TWO drain-1 rows only — the late
     # third row never entered it; later windows are still open (unemitted)
     assert got == {"2024-01-01 00:00:00": 2}
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
+    """Native session_window over an availableNow drain groups exactly like
+    the batch gap sessionizer (away from the exact-gap boundary): same
+    (user, n_events, sum_value) multiset, and session_end = last ts + gap."""
+    from trianglecounting_spark.functions.events import sessionize
+    from trianglecounting_spark.streaming.edges import streaming_sessions
+
+    rows = [
+        (1, "2024-01-01 10:00:00.25", 7, 1.0),
+        (2, "2024-01-01 10:20:00.50", 7, 2.0),
+        (3, "2024-01-01 11:10:00.75", 7, 4.0),   # 50-min gap -> new session
+        (4, "2024-01-01 09:00:00.10", 8, 8.0),
+        (5, "2024-01-01 09:10:00.20", 8, 16.0),
+    ]
+    src = tmp_path / "events_src"
+    src.mkdir()
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
+    batch_df.write.parquet(str(src / "p0"))
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(str(src / "*"))
+        q = (
+            streaming_sessions(stream, gap_minutes=30, watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sessions_out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    out = tmp_path / "sessions_out"
+    # first drain: watermark = max(ts) - 30min = 10:40, so ONLY user 8's
+    # session (ended 09:40) has passed it; both user-7 sessions stay open
+    # in the state store
+    drain()
+    first = spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    ).parquet(str(out))
+    assert [(r.user_id, r.n_events, r.sum_value) for r in first.collect()]         == [(8, 2, 24.0)]
+    # a much-later sentinel event advances the watermark past every real
+    # session on the next drain (same checkpoint = restart + catch-up)
+    spark.createDataFrame(
+        [(99, "2024-01-02 00:00:00", 99, 0.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value"
+    ).write.parquet(str(src / "p1"))
+    drain()
+    got = sorted(
+        (r.user_id, r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    want = sorted(
+        (r.user_id, r.n_events, r.sum_value)
+        for r in sessionize(batch_df, gap_minutes=30).collect()
+    )
+    assert got == want == [(7, 1, 4.0), (7, 2, 3.0), (8, 2, 24.0)]
