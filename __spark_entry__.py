@@ -838,6 +838,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sampled_edges(s, d), t_max=3
     )
 
+    # site-level importance end-to-end: pages -> host rollup (self-links
+    # dropped, directions merged) -> weighted PageRank over host strings
+    q["host_pagerank"] = lambda s, d: pagerank_weighted(
+        PG.host_weighted_edges(_doc_pages(s, d)), iterations=10
+    ).select("v", F.round("score", 6).alias("score"))
+
     # pivot-subset betweenness (Brandes & Pich 2007): forward BFS sigma +
     # backward dependency accumulation, both relational, 16 lowest-id pivots
     from trianglecounting_spark.operators.centrality import betweenness_pivots
@@ -983,6 +989,18 @@ def extra_oracle_sql() -> dict[str, str]:
     from trianglecounting_spark.operators.centrality import betweenness_pivots_sql
 
     o["betweenness"] = betweenness_pivots_sql(_SAMPLED_E, n_pivots=16)
+    _HOST_WEDGES = (
+        f"WITH p AS ({_DOC_PAGES_URLS}), "
+        "links AS (SELECT src_url, t1 AS dst_url FROM p "
+        "UNION ALL SELECT src_url, t2 FROM p), "
+        "hg AS (SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host, "
+        "regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host, "
+        "count(*) AS n_links FROM links GROUP BY 1, 2) "
+        "SELECT least(src_host, dst_host) AS u, greatest(src_host, dst_host) AS v, "
+        "CAST(sum(n_links) AS BIGINT) AS w FROM hg "
+        "WHERE src_host <> dst_host GROUP BY 1, 2"
+    )
+    o["host_pagerank"] = pagerank_weighted_unrolled_sql(_HOST_WEDGES, iterations=10)
 
     o["sessionize"] = sessionize_sql(gap_minutes=30)
     o["bm25_topk"] = TS.bm25_topk_sql(

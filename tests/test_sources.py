@@ -182,3 +182,24 @@ def test_anchor_text_terms(spark):
         ("alpha.example", "home"): 1,
         ("alpha.example", "page"): 1,
     }
+
+
+def test_host_weighted_edges_merges_directions_and_drops_self(spark):
+    from trianglecounting_spark.sources.pages import host_weighted_edges
+
+    rows = [
+        # a.example -> b.example twice, b -> a once => merged w=3
+        (0, "https://a.example/1",
+         '<a href="https://b.example/x">l</a> <a href="https://b.example/y">l</a>'),
+        (1, "https://b.example/2", '<a href="https://a.example/z">l</a>'),
+        # self-host link: dropped
+        (2, "https://a.example/3", '<a href="https://a.example/4">l</a>'),
+        # c -> a once
+        (3, "https://c.example/1", '<a href="https://a.example/5">l</a>'),
+    ]
+    pages = spark.createDataFrame(
+        [(i, u, h.encode()) for i, u, h in rows],
+        "doc_id long, url string, html binary",
+    )
+    got = {(r.u, r.v): r.w for r in host_weighted_edges(pages).collect()}
+    assert got == {("a.example", "b.example"): 3, ("a.example", "c.example"): 1}

@@ -162,3 +162,24 @@ def host_link_graph(pages: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
+
+
+def host_weighted_edges(pages: DataFrame) -> DataFrame:
+    """Undirected weighted host graph ``(u, v, w)`` for site-level PageRank:
+    the host rollup with self-host links dropped (intra-site navigation is
+    noise for importance) and the two directions merged by lexicographic
+    canonicalization — ``w`` sums the link multiplicities of both
+    directions. Feeds ``operators.pagerank.pagerank_weighted`` directly;
+    hosts stay strings end-to-end (the weighted walk never needs integer
+    ids, and skipping the dictionary keeps the composition one shuffle
+    shorter)."""
+    hg = host_link_graph(pages).where(F.col("src_host") != F.col("dst_host"))
+    return (
+        hg.select(
+            F.least("src_host", "dst_host").alias("u"),
+            F.greatest("src_host", "dst_host").alias("v"),
+            F.col("n_links").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
