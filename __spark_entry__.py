@@ -276,6 +276,28 @@ def _streaming_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deliberately-messy deterministic URL spellings per document, for
+    the canonicalization lane: variant 0 carries mixed-case scheme/host, the
+    default :443 port, duplicate+trailing slashes, a utm param, unsorted
+    query, and a fragment; variant 1 is the clean spelling plus a gclid.
+    Both canonicalize to ``https://site{n}.example/Page/{id}?a=1&b=2``."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    site = (F.col("doc_id") % 50).cast("string")
+    i = F.col("doc_id").cast("string")
+    v0 = F.concat(
+        F.lit("HTTPS://Site"), site, F.lit(".Example:443//Page/"), i,
+        F.lit("/?utm_source=feed&b=2&a=1#frag"),
+    )
+    v1 = F.concat(
+        F.lit("https://site"), site, F.lit(".example/Page/"), i,
+        F.lit("?a=1&b=2&gclid=xyz"),
+    )
+    return d.select(
+        "doc_id", F.posexplode(F.array(v0, v1)).alias("variant", "url")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -798,6 +820,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with link multiplicities — the site-graph input for host PageRank
     q["host_graph"] = lambda s, d: PG.host_link_graph(_doc_pages(s, d))
 
+    # URL canonicalization (round 5): two deliberately-messy deterministic
+    # spellings per document (mixed-case host, default port, dup slashes,
+    # trailing slash, tracking params, unsorted query, fragment) — both must
+    # collapse to the same canonical form in both engines
+    q["canonicalize_urls"] = lambda s, d: PG.canonicalize_urls(
+        _messy_urls(s, d)
+    )
+
     # anchor-text aggregation per target host (round 5): the off-page
     # relevance signal; fixture anchors are 'a' (t1) and 'b' (t2)
     q["anchor_text_terms"] = lambda s, d: PG.anchor_text_terms(_doc_pages(s, d))
@@ -817,6 +847,31 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_scrub"] = lambda s, d: TS.pii_scrub(_docs_with_pii(s, d))
+
+    # paragraph-level (line) exact dedup (round 5): docs get deterministic
+    # multi-paragraph structure — own text + a boilerplate line on 2/3 of
+    # docs + a 'section k' line shared by ~|corpus|/7 docs; the stats row
+    # profiles cross-doc duplicated paragraphs, the clean row removes them
+    def _para_docs(s, d):
+        return _docs(s, d).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(3)) != 0,
+                    F.lit("\nsubscribe to the newsletter"),
+                ).otherwise(F.lit("")),
+                F.lit("\nsection "),
+                F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            ).alias("text"),
+        )
+
+    q["paragraph_dup_stats"] = lambda s, d: DD.paragraph_dup_stats(
+        _para_docs(s, d), min_docs=2
+    )
+    q["paragraph_dedup_clean"] = lambda s, d: DD.remove_duplicate_paragraphs(
+        _para_docs(s, d), min_docs=2
+    )
 
     # Gopher-style quality rules (Rae et al. 2021): per-doc features + fused
     # keep verdict — the standard pre-training corpus filter, one narrow map
@@ -967,6 +1022,21 @@ def extra_oracle_sql() -> dict[str, str]:
         "regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host, "
         "CAST(count(*) AS BIGINT) AS n_links FROM links GROUP BY 1, 2"
     )
+    _MESSY_URLS = (
+        "SELECT doc_id, 0 AS variant, "
+        "'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR) || "
+        "'.Example:443//Page/' || CAST(doc_id AS VARCHAR) || "
+        "'/?utm_source=feed&b=2&a=1#frag' AS url FROM documents "
+        "UNION ALL SELECT doc_id, 1, "
+        "'https://site' || CAST(doc_id % 50 AS VARCHAR) || "
+        "'.example/Page/' || CAST(doc_id AS VARCHAR) || "
+        "'?a=1&b=2&gclid=xyz' FROM documents"
+    )
+    o["canonicalize_urls"] = (
+        f"WITH v AS ({_MESSY_URLS}) "
+        f"SELECT doc_id, CAST(variant AS BIGINT) AS variant, url, "
+        f"{PG.canonical_url_sql('url')} AS canonical_url FROM v"
+    )
     o["four_clique_count"] = four_clique_sql(_E)
     o["square_count"] = square_count_sql(_E)
     o["hyperball_balls"] = hyperball_unrolled_sql(_SAMPLED_E, t=3)
@@ -1017,6 +1087,18 @@ def extra_oracle_sql() -> dict[str, str]:
     o["random_walks"] = random_walks_sql(_SAMPLED_E, walk_len=4)
     o["kmeans_clusters"] = CL.kmeans_assign_sql(k=8, iters=3)
     o["semantic_dedup"] = CL.semantic_dedup_sql(k=8, iters=3, threshold=0.2)
+    _PARA_DOCS = (
+        "(SELECT doc_id, text || "
+        "CASE WHEN doc_id % 3 <> 0 THEN chr(10) || 'subscribe to the newsletter' "
+        "ELSE '' END || chr(10) || 'section ' || CAST(doc_id % 7 AS VARCHAR) "
+        "AS text FROM documents)"
+    )
+    o["paragraph_dup_stats"] = DD.paragraph_dup_stats_sql(
+        min_docs=2, docs_rel=_PARA_DOCS
+    )
+    o["paragraph_dedup_clean"] = DD.remove_duplicate_paragraphs_sql(
+        min_docs=2, docs_rel=_PARA_DOCS
+    )
     o["pii_scrub"] = TS.pii_scrub_sql(
         "(SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || "
         "'@example.com or call +1-555-' || "

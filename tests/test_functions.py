@@ -777,3 +777,111 @@ def test_sessionize_gap_splits(spark):
         "event_id long, ts string, user_id long, value double",
     ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "value")
     assert sessionize(ev2, 30).count() == 1
+
+
+def test_canonical_url_rules_and_idempotence(spark):
+    """Each canonicalization rule on a hand case, messy/clean collapse, and
+    idempotence (canon(canon(u)) == canon(u)) — the dedup-key contract."""
+    from pyspark.sql import functions as F
+
+    from trianglecounting_spark.sources.pages import canonical_url
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://Site7.Example:443//Page/9/?utm_source=f&b=2&a=1#frag",
+         "https://site7.example/Page/9?a=1&b=2"),
+        ("https://site7.example/Page/9?a=1&b=2&gclid=xyz",
+         "https://site7.example/Page/9?a=1&b=2"),
+        ("http://Host.Example:80/a//b///c/", "http://host.example/a/b/c"),
+        ("http://host.example:8080/x", "http://host.example:8080/x"),  # non-default port kept
+        ("https://host.example", "https://host.example/"),
+        ("https://host.example/?utm_campaign=x&fbclid=1&ref=home",
+         "https://host.example/"),
+        ("  https://host.example/p#sec  ", "https://host.example/p"),
+        ("mailto:a@b.example", "mailto:a@b.example"),  # non-http passthrough
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    # idempotence over the canonical forms themselves
+    df2 = spark.createDataFrame([(c,) for c in got], "url string")
+    again = [
+        r.c for r in df2.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert again == got
+
+
+def test_canonical_url_spark_matches_duckdb(spark):
+    """The Spark expression and the DuckDB twin agree string-for-string on
+    the messy fixture family (the extras-lane gate in miniature)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from trianglecounting_spark.sources.pages import canonical_url, canonical_url_sql
+
+    urls = [
+        "HTTPS://Site1.Example:443//Page/2/?utm_source=f&b=2&a=1#frag",
+        "http://A.B:80/x//y/?z=1&utm_medium=m",
+        "https://h.example/p?b=2&a=1&a=0",
+        "https://h.example:443",
+        "ftp://odd.example/path",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_sql('url')} FROM "
+            f"(VALUES {values}) AS t(i, url) ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+
+
+def test_paragraph_dedup_stats_and_clean(spark):
+    """Hand corpus: a boilerplate line shared by 3 docs is flagged and
+    removed from all of them; unique lines survive; order and empty-doc
+    semantics pinned."""
+    from trianglecounting_spark.functions.dedup import (
+        paragraph_dup_stats,
+        remove_duplicate_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nsubscribe now\nbeta one"),
+            (2, "gamma two\nsubscribe now"),
+            (3, "subscribe now\ndelta three\n\n  "),  # empty segments dropped
+            (4, "all unique here"),
+            (5, "subscribe now"),  # becomes empty after cleaning
+        ],
+        "doc_id long, text string",
+    )
+    stats = {
+        r.doc_id: (r.n_paras, r.n_dup_paras, r.dup_ratio)
+        for r in paragraph_dup_stats(docs, min_docs=2).collect()
+    }
+    assert stats == {
+        1: (3, 1, 0.333333),  # round 6dp, same as the oracle
+        2: (2, 1, 0.5),
+        3: (2, 1, 0.5),
+        4: (1, 0, 0.0),
+        5: (1, 1, 1.0),
+    }
+    clean = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicate_paragraphs(docs, min_docs=2).collect()
+    }
+    assert clean == {
+        1: "alpha one\nbeta one",
+        2: "gamma two",
+        3: "delta three",
+        4: "all unique here",
+        5: "",
+    }

@@ -344,3 +344,127 @@ def dedup_clusters_sql(k: int = 5, num_hashes: int = 16, bands: int = 4,
         f"SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS keep_id "
         f"FROM documents d LEFT JOIN ({cc}) c ON c.v = d.doc_id ORDER BY d.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level (line-level) exact dedup
+# ---------------------------------------------------------------------------
+
+# A "paragraph" is a newline-delimited segment, trimmed; empty segments are
+# dropped. Exact fp = md5 of the trimmed segment (engine-portable).
+
+def _paragraphs(docs: DataFrame) -> DataFrame:
+    """``(doc_id, para_id, para, fp)`` — one row per non-empty paragraph.
+    Narrow explode bounded by paragraphs-per-doc; para_id is the 1-based
+    position so cleaned text can be reassembled in original order."""
+    p = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("pid", "para")
+    ).select(
+        "doc_id",
+        (F.col("pid") + 1).cast("long").alias("para_id"),
+        F.trim(F.col("para")).alias("para"),
+    ).where(F.col("para") != "")
+    return p.withColumn("fp", F.md5(F.col("para").cast("binary")))
+
+
+def _PARAS_SQL(docs_rel: str = "documents") -> str:
+    return (
+        f"(SELECT doc_id, CAST(pos AS BIGINT) AS para_id, trim(parts[pos]) AS para, "
+        f"md5(trim(parts[pos])) AS fp "
+        f"FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM {docs_rel}), "
+        f"unnest(generate_series(1, len(parts))) AS t(pos) "
+        f"WHERE trim(parts[pos]) <> '')"
+    )
+
+
+def paragraph_dup_stats(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Per-document paragraph-duplication profile: ``(doc_id, n_paras,
+    n_dup_paras, dup_ratio)`` where a paragraph is "duplicated" iff its exact
+    fp occurs in ≥ ``min_docs`` DISTINCT documents (the MassiveText /
+    RefinedWeb line-dedup signal — boilerplate lines shared across pages).
+
+    Scale: one explode + one count-distinct groupBy on fp (map-side combined;
+    the fp key space is the distinct-paragraph set, hot boilerplate fps cost
+    one partial per partition) + one join back on fp. The dup-fp side is the
+    duplicated subset only — orders of magnitude smaller than the corpus.
+    """
+    paras = _paragraphs(docs)
+    dup_fps = (
+        paras.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    marked = paras.join(dup_fps, "fp", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup_paras"),
+        F.round(
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+
+
+def paragraph_dup_stats_sql(min_docs: int = 2, docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`paragraph_dup_stats`."""
+    return (
+        f"WITH paras AS MATERIALIZED (SELECT * FROM {_PARAS_SQL(docs_rel)}), "
+        f"dup AS (SELECT fp FROM paras GROUP BY fp "
+        f"HAVING count(DISTINCT doc_id) >= {min_docs}) "
+        f"SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_paras, "
+        f"CAST(count(d.fp) AS BIGINT) AS n_dup_paras, "
+        f"round(count(d.fp) * 1.0 / count(*), 6) AS dup_ratio "
+        f"FROM paras p LEFT JOIN dup d ON d.fp = p.fp GROUP BY p.doc_id"
+    )
+
+
+def remove_duplicate_paragraphs(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """The cleaning pass: drop every paragraph whose fp occurs in ≥
+    ``min_docs`` distinct documents (from ALL documents — the MassiveText
+    rule: corpus-frequent lines are boilerplate, no copy is content), and
+    reassemble the survivors in original order.
+
+    Output: ``(doc_id, clean_text)`` — one row per document; a document whose
+    every paragraph was boilerplate yields an empty string (downstream
+    quality filters drop it, that's their call not ours).
+
+    Scale: the dup-fp set rides a broadcast-able side (duplicated fps only);
+    reassembly is one groupBy(doc_id) with an in-group sort of a bounded
+    paragraph array — never a global order-sensitive collect.
+    """
+    paras = _paragraphs(docs)
+    dup_fps = (
+        paras.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("fp")
+    )
+    kept = paras.join(dup_fps, "fp", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_id", "para"))),
+                lambda s: s.para,
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
+    )
+
+
+def remove_duplicate_paragraphs_sql(min_docs: int = 2,
+                                    docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`remove_duplicate_paragraphs`."""
+    return (
+        f"WITH paras AS MATERIALIZED (SELECT * FROM {_PARAS_SQL(docs_rel)}), "
+        f"dup AS (SELECT fp FROM paras GROUP BY fp "
+        f"HAVING count(DISTINCT doc_id) >= {min_docs}), "
+        f"kept AS (SELECT p.* FROM paras p ANTI JOIN dup d ON d.fp = p.fp), "
+        f"rebuilt AS (SELECT doc_id, "
+        f"string_agg(para, chr(10) ORDER BY para_id) AS clean_text "
+        f"FROM kept GROUP BY doc_id) "
+        f"SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text "
+        f"FROM {docs_rel} d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id"
+    )

@@ -142,6 +142,95 @@ def anchor_text_terms(pages: DataFrame) -> DataFrame:
     )
 
 
+# Tracking query params dropped by canonicalization (the standard crawl
+# blocklist: analytics click-ids carry no content identity).
+_TRACKING_PARAM_RE = "(?i)^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(url) -> "F.Column":
+    """Canonical form of an http(s) URL, as one Column expression.
+
+    The dedup key every crawl pipeline needs BEFORE dictionary encoding:
+    distinct spellings of the same resource must collapse to one id, or the
+    link graph splits vertices and every downstream count is wrong. Rules
+    (each a pure regex/array expression — no per-row Python, no shuffle):
+
+    * strip the fragment (``#...`` is client-side only);
+    * lowercase scheme+host (case-insensitive per RFC 3986 §6.2.2.1), path
+      case preserved (case-significant);
+    * drop default ports (``:80`` for http, ``:443`` for https);
+    * collapse duplicate slashes in the path and strip trailing slashes
+      (empty path → ``/``);
+    * drop tracking query params (``utm_*``/``fbclid``/``gclid``/
+      ``msclkid``/``ref``) and sort the survivors (param order is not
+      identity), dropping ``?`` entirely if none survive.
+
+    Non-http(s) strings pass through trimmed + fragment-stripped (mailto:,
+    javascript: etc. are not graph urls; the caller filters them).
+    Idempotent: canonical_url(canonical_url(u)) == canonical_url(u)
+    (pinned in tests). Scale: narrow map over the scan — cost O(rows), no
+    exchange, pushes past any downstream filter.
+    """
+    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    is_http = u.rlike("(?i)^https?://")
+    sh = F.lower(F.regexp_extract(u, r"(?i)^(https?://[^/?]+)", 1))
+    sh = F.regexp_replace(sh, r"^(http://[^/:]+):80$", "$1")
+    sh = F.regexp_replace(sh, r"^(https://[^/:]+):443$", "$1")
+    rest = F.regexp_replace(u, r"(?i)^https?://[^/?]+", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qparts = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(qparts), "&")
+    canon = F.concat(
+        sh, path, F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+    )
+    return F.when(is_http, canon).otherwise(u)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      out_col: str = "canonical_url") -> DataFrame:
+    """``df`` + a ``canonical_url`` column (see :func:`canonical_url`)."""
+    return df.withColumn(out_col, canonical_url(F.col(url_col)))
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` over the SQL expression ``expr``.
+
+    Same rule set; DuckDB spellings (``\\1`` backrefs, explicit ``'g'`` flag
+    where all occurrences matter, list_filter/list_sort lambdas for the
+    query-param set).
+    """
+    u = f"regexp_replace(trim({expr}), '#.*$', '')"
+    sh = (
+        f"regexp_replace(regexp_replace("
+        f"lower(regexp_extract({u}, '(?i)^(https?://[^/?]+)', 1)), "
+        f"'^(http://[^/:]+):80$', '\\1'), '^(https://[^/:]+):443$', '\\1')"
+    )
+    rest = f"regexp_replace({u}, '(?i)^https?://[^/?]+', '')"
+    path = (
+        f"regexp_replace(regexp_replace("
+        f"regexp_extract({rest}, '^([^?]*)', 1), '/{{2,}}', '/', 'g'), "
+        f"'/+$', '')"
+    )
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    qs = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_PARAM_RE}'))), '&')"
+    )
+    canon = f"({sh} || {path} || CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END)"
+    return (
+        f"CASE WHEN regexp_matches({u}, '(?i)^https?://') THEN {canon} "
+        f"ELSE {u} END"
+    )
+
+
 def host_link_graph(pages: DataFrame) -> DataFrame:
     """Host-level rollup of the hyperlink graph: (src_host, dst_host,
     n_links) with n_links the number of href occurrences between the hosts —
