@@ -899,6 +899,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         PG.host_weighted_edges(_doc_pages(s, d)), iterations=10
     ).select("v", F.round("score", 6).alias("score"))
 
+    # deterministic maximal independent set (round 5): fixed-hash-priority
+    # Luby peel = the lexicographically-first MIS — one well-defined set,
+    # verified against an unrolled-SQL oracle and a sequential-greedy
+    # differential in tests (converges in 6 rounds on this sample)
+    from trianglecounting_spark.operators.mis import maximal_independent_set
+
+    q["mis"] = lambda s, d: maximal_independent_set(_sampled_edges(s, d))
+
     # pivot-subset betweenness (Brandes & Pich 2007): forward BFS sigma +
     # backward dependency accumulation, both relational, 16 lowest-id pivots
     from trianglecounting_spark.operators.centrality import betweenness_pivots
@@ -1058,6 +1066,11 @@ def extra_oracle_sql() -> dict[str, str]:
     from trianglecounting_spark.functions.events import sessionize_sql
     from trianglecounting_spark.operators.centrality import betweenness_pivots_sql
 
+    from trianglecounting_spark.operators.mis import mis_unrolled_sql
+
+    # 15 unrolled rounds ≥ the measured 6-round convergence at sf0.01
+    # (idempotent once the undecided set empties — extra rounds are no-ops)
+    o["mis"] = mis_unrolled_sql(_SAMPLED_E, rounds=15)
     o["betweenness"] = betweenness_pivots_sql(_SAMPLED_E, n_pivots=16)
     _HOST_WEDGES = (
         f"WITH p AS ({_DOC_PAGES_URLS}), "

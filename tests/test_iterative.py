@@ -621,3 +621,75 @@ def test_coreness_closed_forms_and_kcore_membership(spark):
             members.add(r.u)
             members.add(r.v)
         assert members == {v for v, c in cn.items() if c >= k}, f"k={k}"
+
+
+def _greedy_mis_by_priority(edge_list):
+    """Sequential greedy MIS in (h(v), v) priority order — the LFMIS the
+    fixed-priority parallel peel must equal exactly (Blelloch et al.)."""
+    from trianglecounting_spark.operators.mis import _A, _M, _SEED
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    order = sorted(adj, key=lambda v: ((v % _M) * _A + _SEED) % _M * 2**32 + v)
+    mis, blocked = set(), set()
+    for v in order:
+        if v not in blocked:
+            mis.add(v)
+            blocked |= adj[v] | {v}
+    return mis
+
+
+def test_mis_independence_maximality_and_greedy_equality(spark):
+    from trianglecounting_spark.operators.mis import maximal_independent_set
+    from trianglecounting_spark.sources import generators as gg
+
+    from trianglecounting_spark.operators.normalize import normalize_edges
+
+    edges = normalize_edges(gg.rmat_graph(spark, scale=9, edge_factor=4, seed=5))
+    edge_list = [(r.u, r.v) for r in edges.collect()]
+    got = {r.v: r.in_mis for r in maximal_independent_set(edges).collect()}
+    mis = {v for v, f in got.items() if f}
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # labeled every vertex
+    assert set(got) == set(adj)
+    # independence: no edge inside the MIS
+    assert not any(u in mis and v in mis for u, v in edge_list)
+    # maximality: every non-MIS vertex has an MIS neighbor
+    assert all(adj[v] & mis for v in adj if v not in mis)
+    # determinism + exact LFMIS equality with the sequential greedy
+    assert mis == _greedy_mis_by_priority(edge_list)
+    again = {
+        r.v: r.in_mis
+        for r in maximal_independent_set(edges.repartition(7)).collect()
+    }
+    assert again == got
+
+
+def test_mis_matches_unrolled_sql_oracle(spark):
+    """Engine vs the unrolled DuckDB oracle on the sampled sf0.001 graph —
+    the extras-lane gate in miniature, and pins the oracle's round depth."""
+    import duckdb
+
+    from trianglecounting_spark.operators.mis import (
+        maximal_independent_set,
+        mis_unrolled_sql,
+    )
+    from trianglecounting_spark.sources import generators as gg
+
+    from trianglecounting_spark.operators.normalize import normalize_edges
+
+    edges = normalize_edges(gg.rmat_graph(spark, scale=8, edge_factor=3, seed=11))
+    rows = [(r.u, r.v) for r in edges.collect()]
+    got = sorted(
+        (r.v, r.in_mis) for r in maximal_independent_set(edges).collect()
+    )
+    con = duckdb.connect()
+    values = ", ".join(f"({u}, {v})" for u, v in rows)
+    sql = mis_unrolled_sql(f"SELECT * FROM (VALUES {values}) AS t(u, v)", rounds=20)
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want
