@@ -970,6 +970,20 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=8, iters=3, threshold=0.2,
     )
 
+    # GraphSAGE-style neighbor feature mean (round 5): link graph × page
+    # embeddings → link-aware features, exploded (v, dim, val) for the gate;
+    # exact because the grid embeddings sum exactly in any order
+    from trianglecounting_spark.functions.features import neighbor_mean_exploded
+
+    q["neighbor_mean_features"] = lambda s, d: neighbor_mean_exploded(
+        _sampled_edges(s, d),
+        s.read.parquet(f"{d}/embeddings.parquet").select(
+            F.col("vec_id").alias("v"),
+            F.col("embedding").cast("array<double>").alias("feat"),
+        ),
+        hops=1,
+    )
+
     # IVF-style ANN (the inverted-file scale path next to the LSH member):
     # deterministic seed centroids make the full result oracle-exact
     q["ann_ivf_topk"] = lambda s, d: SIM.ann_ivf_topk(
@@ -1058,6 +1072,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n "
         "FROM terms GROUP BY dst_host, term"
     )
+    from trianglecounting_spark.functions.features import neighbor_mean_exploded_sql
+
+    o["neighbor_mean_features"] = neighbor_mean_exploded_sql(_SAMPLED_E, hops=1)
     o["ann_ivf_topk"] = SIM.ann_ivf_topk_sql(n_cells=16, nprobe=2, k=5)
     o["gopher_quality"] = TS.gopher_rules_sql()
     from trianglecounting_spark.operators.walks import random_walks_sql

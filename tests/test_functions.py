@@ -885,3 +885,40 @@ def test_paragraph_dedup_stats_and_clean(spark):
         4: "all unique here",
         5: "",
     }
+
+
+def test_neighbor_mean_features_closed_form(spark):
+    """Path 1-2-3 with unit-axis features: hop-1 means are exact by hand;
+    hop-2 composes means-of-means; vertices keep only featured-neighbor
+    aggregates."""
+    from trianglecounting_spark.functions.features import neighbor_mean_features
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    feats = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 4.0]), (3, [6.0, 0.0])],
+        "v long, feat array<double>",
+    )
+    h1 = {r.v: r.feat for r in neighbor_mean_features(edges, feats).collect()}
+    assert h1 == {
+        1: [0.0, 4.0],          # only neighbor: 2
+        2: [4.0, 0.0],          # mean of 1 and 3
+        3: [0.0, 4.0],          # only neighbor: 2
+    }
+    h2 = {
+        r.v: r.feat
+        for r in neighbor_mean_features(edges, feats, hops=2).collect()
+    }
+    assert h2 == {
+        1: [4.0, 0.0],          # hop-1 of 2
+        2: [0.0, 4.0],          # mean of hop-1(1) and hop-1(3)
+        3: [4.0, 0.0],
+    }
+    # partially-featured graph: an unfeatured neighbor contributes nothing
+    feats_partial = spark.createDataFrame(
+        [(1, [10.0]), (3, [30.0])], "v long, feat array<double>"
+    )
+    hp = {
+        r.v: r.feat
+        for r in neighbor_mean_features(edges, feats_partial).collect()
+    }
+    assert hp == {2: [20.0]}  # mean over featured neighbors {1, 3} only
