@@ -810,6 +810,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sampled_edges(s, d), k=8, max_iterations=30
     )
 
+    # full TRUSS decomposition in ONE fixpoint (round 5): per-edge truss
+    # numbers via the edge h-index recurrence (VLDB'18 local nucleus
+    # decomposition) — subsumes per-k truss peels; differential-tested
+    # against ktruss(k) for every k in test_iterative.py
+    from trianglecounting_spark.operators.ktruss import trussness
+
+    q["trussness"] = lambda s, d: trussness(_sampled_edges(s, d))
+
     # full core decomposition in ONE fixpoint (round 5): per-vertex core
     # numbers via the distributed h-index recurrence (Lü et al. 2016) —
     # subsumes per-k peels for tiering; differential-tested against kcore
@@ -1036,6 +1044,10 @@ def extra_oracle_sql() -> dict[str, str]:
     # 25 unrolled h-index rounds ≥ the measured fixpoint depth at sf0.01
     # (the recurrence is idempotent once converged, so extra rounds match)
     o["coreness"] = coreness_unrolled_sql(_E, rounds=25)
+    from trianglecounting_spark.operators.ktruss import trussness_unrolled_sql
+
+    # sampled graph converges in ≤6 edge-h-index rounds at sf0.01; 15 ≥ that
+    o["trussness"] = trussness_unrolled_sql(_SAMPLED_E, rounds=15)
     o["host_graph"] = (
         f"WITH p AS ({_DOC_PAGES_URLS}), "
         "links AS (SELECT src_url, t1 AS dst_url FROM p "

@@ -693,3 +693,51 @@ def test_mis_matches_unrolled_sql_oracle(spark):
     sql = mis_unrolled_sql(f"SELECT * FROM (VALUES {values}) AS t(u, v)", rounds=20)
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+def test_trussness_matches_per_k_peels(spark):
+    """Full decomposition vs independent per-k peels: {e : trussness >= k}
+    must equal ktruss(k)'s surviving edge set for every k — on hand graphs
+    (two bridged cliques) and an R-MAT graph."""
+    from trianglecounting_spark.operators.ktruss import ktruss, trussness
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.sources import generators as gg
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    k4 = [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+    bridge = [(0, 10)]
+    hand = spark.createDataFrame(k5 + k4 + bridge, "u long, v long")
+    rmat = normalize_edges(gg.rmat_graph(spark, scale=8, edge_factor=4, seed=3))
+    for edges in (hand, rmat):
+        tn = {(r.u, r.v): r.trussness for r in trussness(edges).collect()}
+        assert set(tn) == {(r.u, r.v) for r in edges.collect()}
+        kmax = max(tn.values())
+        for k in range(3, kmax + 2):
+            want = {(r.u, r.v) for r in ktruss(edges, k=k).collect()}
+            got = {e for e, t in tn.items() if t >= k}
+            assert got == want, f"k={k}"
+    # closed forms on the hand graph: K5 edges are 5-truss, K4 are 4-truss,
+    # the bridge is in no triangle -> trussness 2
+    tn = {(r.u, r.v): r.trussness for r in trussness(hand).collect()}
+    assert all(tn[e] == 5 for e in k5)
+    assert all(tn[e] == 4 for e in k4)
+    assert tn[(0, 10)] == 2
+
+
+def test_trussness_matches_unrolled_sql(spark):
+    import duckdb
+
+    from trianglecounting_spark.operators.ktruss import trussness, trussness_unrolled_sql
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.sources import generators as gg
+
+    edges = normalize_edges(gg.rmat_graph(spark, scale=8, edge_factor=5, seed=9))
+    rows = [(r.u, r.v) for r in edges.collect()]
+    got = sorted((r.u, r.v, r.trussness) for r in trussness(edges).collect())
+    con = duckdb.connect()
+    values = ", ".join(f"({u}, {v})" for u, v in rows)
+    sql = trussness_unrolled_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(u, v)", rounds=25
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want

@@ -282,3 +282,144 @@ def ktruss_incremental(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full truss decomposition (per-edge truss number) in one fixpoint
+# ---------------------------------------------------------------------------
+
+def trussness(edges: DataFrame, max_iterations: int = 200) -> DataFrame:
+    """Per-edge truss number ``(u, v, trussness)`` via the edge h-index
+    fixpoint — the triangle analogue of ``kcore.coreness`` (the local
+    nucleus-decomposition recurrence of Sariyuce/Seshadhri/Pinar, VLDB'18):
+
+        t_0(e)   = support(e)
+        t_k+1(e) = H({ min(t_k(e1), t_k(e2)) : triangles (e, e1, e2) })
+
+    t is elementwise monotone non-increasing and converges to trussness-2;
+    edges in no triangle have trussness 2. One fixpoint replaces one
+    ``ktruss`` peel per k (differential-tested: {e : trussness(e) >= k} ==
+    ktruss(k) for every k).
+
+    Plan shape: the triangle-edge incidence table (3 rows per triangle,
+    each edge paired with its two partner edges) is built ONCE from the
+    Arrow enumeration kernel and persisted; each round is two joins of the
+    incidence against the |triangle-edges| state + one per-edge window —
+    all integer, partitioning-invariant (h-index is order-independent
+    under ties). Convergence on sum(t), which strictly decreases on every
+    non-fixpoint round. State checkpointed per round, barrier every
+    ``_KTRUSS_BARRIER_EVERY`` rounds.
+
+    Scale: per-round cost is O(3·#triangles) join rows — the same volume
+    the per-edge support pass already touches; rounds observed ≤ ~15 on
+    web-like graphs. The incidence table never grows; only the (much
+    smaller) per-edge state shuffles.
+    """
+    from pyspark.sql import Window
+
+    from trianglecounting_spark.operators.triangles import triangle_enumerate_kernel
+
+    spark = edges.sparkSession
+    tri = triangle_enumerate_kernel(edges)
+
+    def pair(x, y):
+        return F.least(x, y), F.greatest(x, y)
+
+    # 3 incidence rows per triangle: (edge, other-edge-1, other-edge-2)
+    def inc_row(e, o1, o2):
+        (eu, ev), (a1, b1), (a2, b2) = pair(*e), pair(*o1), pair(*o2)
+        return tri.select(
+            eu.alias("u"), ev.alias("v"),
+            a1.alias("o1u"), b1.alias("o1v"),
+            a2.alias("o2u"), b2.alias("o2v"),
+        )
+
+    ab, ac, bc = (F.col("a"), F.col("b")), (F.col("a"), F.col("c")), (F.col("b"), F.col("c"))
+    inc_plan = (
+        inc_row(ab, ac, bc).unionAll(inc_row(ac, ab, bc)).unionAll(inc_row(bc, ab, ac))
+    )
+    inc, inc_ids = tracked_checkpoint(inc_plan)
+    t, t_ids = tracked_checkpoint(
+        inc.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    total = t.agg(F.sum("t")).collect()[0][0]
+    w = Window.partitionBy("u", "v").orderBy(
+        F.col("mv").desc(), F.col("o1u").asc(), F.col("o1v").asc(),
+        F.col("o2u").asc(), F.col("o2v").asc(),
+    )
+    for it in range(1, max_iterations + 1):
+        t1 = t.select(F.col("u").alias("o1u"), F.col("v").alias("o1v"),
+                      F.col("t").alias("t1"))
+        t2 = t.select(F.col("u").alias("o2u"), F.col("v").alias("o2v"),
+                      F.col("t").alias("t2"))
+        new_plan = (
+            inc.join(t1, ["o1u", "o1v"]).join(t2, ["o2u", "o2v"])
+            .withColumn("mv", F.least(F.col("t1"), F.col("t2")))
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .groupBy("u", "v")
+            .agg(F.max(F.least(F.col("rnk"), F.col("mv"))).cast("long").alias("t"))
+        )
+        before = persistent_rdd_ids(spark)
+        if it % _KTRUSS_BARRIER_EVERY == 0:
+            new_t, new_ids = barrier_checkpoint(new_plan)
+        else:
+            new_t, new_ids = tracked_checkpoint(new_plan, before=before)
+        new_total = new_t.agg(F.sum("t")).collect()[0][0]
+        release_ids(spark, t_ids)
+        t, t_ids = new_t, new_ids
+        if new_total == total:
+            break
+        total = new_total
+    out_plan = (
+        edges.select("u", "v")
+        .join(t, ["u", "v"], "left")
+        .select("u", "v",
+                (F.coalesce(F.col("t"), F.lit(0)) + F.lit(2))
+                .cast("long").alias("trussness"))
+    )
+    out, _ = tracked_checkpoint(out_plan)
+    release_ids(spark, inc_ids | t_ids)
+    return out
+
+
+def trussness_unrolled_sql(edges_sql: str, rounds: int) -> str:
+    """DuckDB oracle for ``trussness``: the identical edge-h-index
+    recurrence unrolled (idempotent at the fixpoint, so any rounds >= the
+    measured convergence depth matches)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x)",
+        "d AS MATERIALIZED (SELECT CASE WHEN (du.deg < dv.deg) OR "
+        "(du.deg = dv.deg AND e.u < e.v) THEN e.u ELSE e.v END AS src, "
+        "CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.v ELSE e.u END AS dst "
+        "FROM e JOIN deg du ON du.v = e.u JOIN deg dv ON dv.v = e.v)",
+        "tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+        "FROM d e1 JOIN d e2 ON e2.src = e1.dst "
+        "JOIN d e3 ON e3.src = e1.src AND e3.dst = e2.dst)",
+        "inc AS MATERIALIZED ("
+        "SELECT least(a,b) AS u, greatest(a,b) AS v, least(a,c) AS o1u, "
+        "greatest(a,c) AS o1v, least(b,c) AS o2u, greatest(b,c) AS o2v FROM tri "
+        "UNION ALL SELECT least(a,c), greatest(a,c), least(a,b), greatest(a,b), "
+        "least(b,c), greatest(b,c) FROM tri "
+        "UNION ALL SELECT least(b,c), greatest(b,c), least(a,b), greatest(a,b), "
+        "least(a,c), greatest(a,c) FROM tri)",
+        "t0 AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS t "
+        "FROM inc GROUP BY u, v)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"t{r+1} AS MATERIALIZED (SELECT u, v, "
+            "CAST(max(least(rnk, mv)) AS BIGINT) AS t FROM ("
+            f"SELECT i.u, i.v, least(x.t, y.t) AS mv, "
+            f"row_number() OVER (PARTITION BY i.u, i.v "
+            f"ORDER BY least(x.t, y.t) DESC, i.o1u, i.o1v, i.o2u, i.o2v) AS rnk "
+            f"FROM inc i JOIN t{r} x ON x.u = i.o1u AND x.v = i.o1v "
+            f"JOIN t{r} y ON y.u = i.o2u AND y.v = i.o2v) GROUP BY u, v)"
+        )
+    return ", ".join(parts) + (
+        f" SELECT e.u, e.v, CAST(coalesce(t.t, 0) + 2 AS BIGINT) AS trussness "
+        f"FROM e LEFT JOIN t{rounds} t ON t.u = e.u AND t.v = e.v "
+        f"ORDER BY e.u, e.v"
+    )
