@@ -885,6 +885,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keep verdict — the standard pre-training corpus filter, one narrow map
     q["gopher_quality"] = lambda s, d: TS.gopher_rules(_docs(s, d))
 
+    # tokenizer-prep lanes (round 5): frequency-ranked vocabulary ids via
+    # the distributed counting-sort rank, and adjacent-bigram PMI
+    # collocations (Church & Hanks) with an engine-mirrored double formula
+    q["vocab"] = lambda s, d: TS.build_vocab(_docs(s, d), min_count=2)
+    q["collocations"] = lambda s, d: TS.collocations_pmi(_docs(s, d), min_count=5)
+
     # higher-order motifs (round 5): the kClist-style k=4 extension of the
     # reference's degree-ordered kernel, and the codeg-identity square count
     q["four_clique_count"] = lambda s, d: four_clique_count(_edges(s, d))
@@ -1089,6 +1095,8 @@ def extra_oracle_sql() -> dict[str, str]:
     o["neighbor_mean_features"] = neighbor_mean_exploded_sql(_SAMPLED_E, hops=1)
     o["ann_ivf_topk"] = SIM.ann_ivf_topk_sql(n_cells=16, nprobe=2, k=5)
     o["gopher_quality"] = TS.gopher_rules_sql()
+    o["vocab"] = TS.build_vocab_sql(min_count=2)
+    o["collocations"] = TS.collocations_pmi_sql(min_count=5)
     from trianglecounting_spark.operators.walks import random_walks_sql
     from trianglecounting_spark.functions import sampling as SAMP
 

@@ -922,3 +922,35 @@ def test_neighbor_mean_features_closed_form(spark):
         for r in neighbor_mean_features(edges, feats_partial).collect()
     }
     assert hp == {2: [20.0]}  # mean over featured neighbors {1, 3} only
+
+
+def test_build_vocab_ranking_and_min_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b zz")],
+        "doc_id long, text string",
+    )
+    got = {r.term: (r.n, r.vocab_id) for r in ts.build_vocab(docs).collect()}
+    # b:4 a:3 c:1 zz:1 — rank by (n desc, term asc)
+    assert got == {"b": (4, 0), "a": (3, 1), "c": (1, 2), "zz": (1, 3)}
+    got2 = {r.term for r in ts.build_vocab(docs, min_count=2).collect()}
+    assert got2 == {"a", "b"}
+
+
+def test_collocations_pmi_closed_form(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york new york"), (2, "old york new day")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.w1, r.w2): (r.n_pair, r.pmi)
+        for r in ts.collocations_pmi(docs, min_count=2).collect()
+    }
+    # bigrams doc1: (new,york)x3 (york,new)x2; doc2: (old,york)(york,new)(new,day)
+    # totals: nb=8, nt=10; n(new)=4, n(york)=4
+    n_pair, pmi = got[("new", "york")]
+    assert n_pair == 3
+    assert math.isclose(pmi, round(math.log((3 * 10 * 10) / (8 * 4 * 4)), 6), abs_tol=1e-9)
+    assert got[("york", "new")][0] == 3
+    assert ("old", "york") not in got  # under min_count

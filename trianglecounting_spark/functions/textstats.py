@@ -855,3 +855,138 @@ SELECT doc_id, round(sum(
 FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {top}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build + collocation mining (tokenizer-prep operators)
+# ---------------------------------------------------------------------------
+
+def build_vocab(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Frequency-ranked vocabulary: ``(term, n, vocab_id)`` with ``vocab_id``
+    the dense 0-based rank by (count desc, term asc) — the id assignment
+    every tokenizer/embedding-table build starts from.
+
+    Scale: one explode + one map-side-combined count groupBy, then the
+    distributed counting-sort rank (``scalable_dense_rank`` — range-
+    partitioned sort + per-partition Arrow offsets, no single-task window).
+    The total order (n desc, term asc) is unique, so ids are deterministic.
+    """
+    from trianglecounting_spark.operators.normalize import scalable_dense_rank
+
+    terms = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("term")
+    )
+    counts = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    return scalable_dense_rank(
+        counts, [F.col("n").desc(), F.col("term").asc()], ["term", "n"],
+        out_col="vocab_id",
+    ).select("term", "n", F.col("vocab_id").cast("long"))
+
+
+def build_vocab_sql(min_count: int = 1, docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`build_vocab`."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    return (
+        f"WITH terms AS (SELECT unnest({toks}) AS term FROM {docs_rel}), "
+        f"c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM terms "
+        f"GROUP BY term HAVING count(*) >= {min_count}) "
+        f"SELECT term, n, CAST(row_number() OVER "
+        f"(ORDER BY n DESC, term ASC) - 1 AS BIGINT) AS vocab_id FROM c"
+    )
+
+
+def collocations_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Adjacent-bigram collocations scored by pointwise mutual information:
+    ``(w1, w2, n_pair, pmi)`` for bigrams occurring ≥ ``min_count`` times.
+
+    PMI = ln( (n_pair/N_bigrams) / ((n_w1/N_tokens)·(n_w2/N_tokens)) ) — the
+    classic collocation statistic (Church & Hanks 1990); rounded to 6dp.
+    The ratio is computed with an explicitly-parenthesized double expression
+    mirrored verbatim in the oracle, so both engines evaluate the identical
+    IEEE operation sequence (integer-product forms can exceed 2⁵³ on big
+    corpora — doubles with fixed association are the portable choice).
+
+    Scale: bigram extraction is a narrow zip of the token array with its
+    own tail (no shuffle); then two map-side-combined counts. Both count
+    tables key on Zipf-skewed terms — counts only, never row pileups. The
+    two scalar totals ride one tiny aggregate each.
+    """
+    tokked = docs.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0).alias("__toks")
+    )
+    n = F.size("__toks")
+    bigrams = tokked.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.arrays_zip(
+                    F.slice(F.col("__toks"), 1, n - 1).alias("w1"),
+                    F.slice(F.col("__toks"), 2, n - 1).alias("w2"),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    unigrams = tokked.select(F.explode("__toks").alias("w"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    uni_counts = unigrams.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    totals = pair_counts.agg(F.sum("n_pair").alias("nb")).crossJoin(
+        uni_counts.agg(F.sum("n_w").alias("nt"))
+    )
+    scored = (
+        pair_counts.where(F.col("n_pair") >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .join(
+            F.broadcast(uni_counts.select(F.col("w").alias("w1"),
+                                          F.col("n_w").alias("n1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni_counts.select(F.col("w").alias("w2"),
+                                          F.col("n_w").alias("n2"))),
+            "w2",
+        )
+    )
+    # fixed association, mirrored in the SQL twin char-for-char:
+    # ((n_pair * nt) * nt) / ((nb * n1) * n2), all as doubles
+    num = (F.col("n_pair").cast("double") * F.col("nt").cast("double")) \
+        * F.col("nt").cast("double")
+    den = (F.col("nb").cast("double") * F.col("n1").cast("double")) \
+        * F.col("n2").cast("double")
+    return scored.select(
+        "w1", "w2", "n_pair", F.round(F.log(num / den), 6).alias("pmi")
+    )
+
+
+def collocations_pmi_sql(min_count: int = 5, docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`collocations_pmi` (identical double
+    association)."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    return (
+        f"WITH tk AS MATERIALIZED (SELECT {toks} AS t FROM {docs_rel}), "
+        f"bg AS MATERIALIZED (SELECT t[pos] AS w1, t[pos + 1] AS w2 FROM tk, "
+        f"unnest(generate_series(1, len(t) - 1)) AS s(pos)), "
+        f"uni AS MATERIALIZED (SELECT unnest(t) AS w FROM tk), "
+        f"pc AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair "
+        f"FROM bg GROUP BY w1, w2), "
+        f"uc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_w "
+        f"FROM uni GROUP BY w), "
+        f"tot AS (SELECT (SELECT sum(n_pair) FROM pc) AS nb, "
+        f"(SELECT sum(n_w) FROM uc) AS nt) "
+        f"SELECT p.w1, p.w2, p.n_pair, "
+        f"round(ln(((CAST(p.n_pair AS DOUBLE) * CAST(t.nt AS DOUBLE)) * "
+        f"CAST(t.nt AS DOUBLE)) / ((CAST(t.nb AS DOUBLE) * "
+        f"CAST(u1.n_w AS DOUBLE)) * CAST(u2.n_w AS DOUBLE))), 6) AS pmi "
+        f"FROM pc p, tot t "
+        f"JOIN uc u1 ON u1.w = p.w1 JOIN uc u2 ON u2.w = p.w2 "
+        f"WHERE p.n_pair >= {min_count}"
+    )
