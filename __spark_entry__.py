@@ -921,6 +921,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mis"] = lambda s, d: maximal_independent_set(_sampled_edges(s, d))
 
+    # deterministic greedy coloring (round 5): fixed-priority Jones-Plassmann
+    # = the sequential greedy coloring in priority order; converges in ≤35
+    # rounds on the sf0.01 sample (measured), oracle unrolls 45
+    from trianglecounting_spark.operators.coloring import greedy_coloring
+
+    q["coloring"] = lambda s, d: greedy_coloring(_sampled_edges(s, d))
+
     # pivot-subset betweenness (Brandes & Pich 2007): forward BFS sigma +
     # backward dependency accumulation, both relational, 16 lowest-id pivots
     from trianglecounting_spark.operators.centrality import betweenness_pivots
@@ -1108,6 +1115,9 @@ def extra_oracle_sql() -> dict[str, str]:
     # 15 unrolled rounds ≥ the measured 6-round convergence at sf0.01
     # (idempotent once the undecided set empties — extra rounds are no-ops)
     o["mis"] = mis_unrolled_sql(_SAMPLED_E, rounds=15)
+    from trianglecounting_spark.operators.coloring import greedy_coloring_unrolled_sql
+
+    o["coloring"] = greedy_coloring_unrolled_sql(_SAMPLED_E, rounds=45)
     o["betweenness"] = betweenness_pivots_sql(_SAMPLED_E, n_pivots=16)
     _HOST_WEDGES = (
         f"WITH p AS ({_DOC_PAGES_URLS}), "

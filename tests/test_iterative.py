@@ -741,3 +741,62 @@ def test_trussness_matches_unrolled_sql(spark):
     )
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+def _greedy_coloring_by_priority(edge_list):
+    """Sequential greedy coloring in (h(v), v) order — what fixed-priority
+    Jones-Plassmann must equal exactly."""
+    from trianglecounting_spark.operators.mis import _A, _M, _SEED
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    order = sorted(adj, key=lambda v: ((v % _M) * _A + _SEED) % _M * 2**32 + v)
+    color: dict[int, int] = {}
+    for v in order:
+        used = {color[u] for u in adj[v] if u in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    return color
+
+
+def test_coloring_proper_and_greedy_equality(spark):
+    from trianglecounting_spark.operators.coloring import greedy_coloring
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.sources import generators as gg
+
+    edges = normalize_edges(gg.rmat_graph(spark, scale=9, edge_factor=4, seed=5))
+    edge_list = [(r.u, r.v) for r in edges.collect()]
+    got = {r.v: r.color for r in greedy_coloring(edges).collect()}
+    # proper: no monochromatic edge
+    assert all(got[u] != got[v] for u, v in edge_list)
+    # exact equality with the sequential greedy in priority order
+    assert got == _greedy_coloring_by_priority(edge_list)
+    # partitioning determinism
+    again = {r.v: r.color for r in greedy_coloring(edges.repartition(7)).collect()}
+    assert again == got
+
+
+def test_coloring_matches_unrolled_sql(spark):
+    import duckdb
+
+    from trianglecounting_spark.operators.coloring import (
+        greedy_coloring,
+        greedy_coloring_unrolled_sql,
+    )
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.sources import generators as gg
+
+    edges = normalize_edges(gg.rmat_graph(spark, scale=8, edge_factor=3, seed=11))
+    rows = [(r.u, r.v) for r in edges.collect()]
+    got = sorted((r.v, r.color) for r in greedy_coloring(edges).collect())
+    con = duckdb.connect()
+    values = ", ".join(f"({u}, {v})" for u, v in rows)
+    sql = greedy_coloring_unrolled_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(u, v)", rounds=30
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want
