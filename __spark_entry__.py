@@ -828,6 +828,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with link multiplicities — the site-graph input for host PageRank
     q["host_graph"] = lambda s, d: PG.host_link_graph(_doc_pages(s, d))
 
+    # power-law tail MLE (round 5): Clauset-Shalizi-Newman alpha over the
+    # degree histogram, folded in ascending-degree order (fixed IEEE
+    # sequence — no distributed float aggregate)
+    q["powerlaw_alpha"] = lambda s, d: N.powerlaw_alpha(_edges(s, d), dmin=10)
+
     # URL canonicalization (round 5): two deliberately-messy deterministic
     # spellings per document (mixed-case host, default port, dup slashes,
     # trailing slash, tracking params, unsorted query, fragment) — both must
@@ -1084,6 +1089,7 @@ def extra_oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, CAST(variant AS BIGINT) AS variant, url, "
         f"{PG.canonical_url_sql('url')} AS canonical_url FROM v"
     )
+    o["powerlaw_alpha"] = N.powerlaw_alpha_sql(_E, dmin=10)
     o["four_clique_count"] = four_clique_sql(_E)
     o["square_count"] = square_count_sql(_E)
     o["hyperball_balls"] = hyperball_unrolled_sql(_SAMPLED_E, t=3)

@@ -148,3 +148,27 @@ def test_graph_stats_closed_form(spark):
     assert r.avg_deg == 1.6
     assert r.density == 0.4
     assert r.assortativity == -1.0
+
+
+def test_powerlaw_alpha_closed_form_and_empty_tail(spark):
+    """Star graph: hub degree n-1, leaves degree 1. With dmin between, the
+    tail is just the hub -> alpha = 1 + 1/ln((n-1)/(dmin-0.5)). Empty tail
+    -> n_tail 0, alpha NULL."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from trianglecounting_spark.operators.normalize import powerlaw_alpha
+
+    n = 40
+    star = spark.createDataFrame([(0, i) for i in range(1, n)], "u long, v long")
+    r = powerlaw_alpha(star, dmin=10).collect()[0]
+    assert r.dmin == 10 and r.n_tail == 1
+    assert math.isclose(
+        r.alpha, round(1.0 + 1.0 / math.log((n - 1) / 9.5), 6), abs_tol=1e-9
+    )
+    r2 = powerlaw_alpha(star, dmin=1000).collect()[0]
+    assert r2.n_tail == 0 and r2.alpha is None
+    # partitioning determinism of the ordered fold
+    r3 = powerlaw_alpha(star.repartition(7), dmin=10).collect()[0]
+    assert r3.alpha == r.alpha

@@ -273,3 +273,64 @@ def rank_by_degree(deg: DataFrame, descending: bool = True) -> DataFrame:
     return scalable_dense_rank(deg, order, ["v"], out_col="new_id").select(
         F.col("v").cast("long"), F.col("new_id").cast("long")
     )
+
+
+def powerlaw_alpha(edges: DataFrame, dmin: int = 10) -> DataFrame:
+    """One-row power-law tail fit of the degree distribution: the
+    continuous-approximation MLE of Clauset-Shalizi-Newman (2009, eq. 3.7),
+
+        alpha = 1 + n_tail / Σ_{deg≥dmin} ln(deg / (dmin − ½)),
+
+    the standard "is this graph web-shaped?" report number next to
+    ``graph_stats``'s assortativity. Output: ``(dmin, n_tail, alpha)``,
+    alpha rounded to 6dp (NULL when the tail is empty).
+
+    Determinism: the ln-sum is NOT taken with a distributed float aggregate
+    (whose combine order varies run to run). The degree HISTOGRAM is exact
+    integers (map-side-combined count), is at most max-degree rows, and is
+    folded in ascending-degree order inside one array expression — a fixed
+    IEEE operation sequence, mirrored in the oracle's ordered list fold.
+    At any scale the histogram stays tiny relative to the graph (bounded by
+    the distinct-degree count), so the single-task fold is O(max_deg).
+    """
+    hist = (
+        degrees(edges)
+        .where(F.col("deg") >= dmin)
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    folded = hist.agg(
+        F.sum("cnt").cast("long").alias("n_tail"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("deg", "cnt"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s.cnt.cast("double")
+            * F.log(s.deg.cast("double") / F.lit(dmin - 0.5)),
+        ).alias("s_ln"),
+    )
+    return folded.select(
+        F.lit(dmin).cast("long").alias("dmin"),
+        F.coalesce(F.col("n_tail"), F.lit(0)).cast("long").alias("n_tail"),
+        F.round(
+            F.lit(1.0) + F.col("n_tail").cast("double") / F.col("s_ln"), 6
+        ).alias("alpha"),
+    )
+
+
+def powerlaw_alpha_sql(edges_sql: str, dmin: int = 10) -> str:
+    """DuckDB twin of ``powerlaw_alpha`` — identical ascending-degree
+    ordered fold (list_sum folds in list order)."""
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        f"hist AS MATERIALIZED (SELECT deg, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM deg WHERE deg >= {dmin} GROUP BY deg), "
+        "f AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_tail, "
+        "list_sum(list_transform(list_sort(list(struct_pack(d := deg, c := cnt))), "
+        f"s -> CAST(s.c AS DOUBLE) * ln(CAST(s.d AS DOUBLE) / {dmin - 0.5}))) "
+        "AS s_ln FROM hist) "
+        f"SELECT CAST({dmin} AS BIGINT) AS dmin, n_tail, "
+        "round(1.0 + CAST(n_tail AS DOUBLE) / s_ln, 6) AS alpha FROM f"
+    )
