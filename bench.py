@@ -46,7 +46,12 @@ def main() -> None:
     from trianglecounting_spark.operators.pagerank import pagerank
     from trianglecounting_spark.operators.components import connected_components
     from trianglecounting_spark.operators.labelprop import label_propagation
-    from trianglecounting_spark.operators.ktruss import ktruss, ktruss_incremental
+    from trianglecounting_spark.operators.ktruss import (
+        ktruss,
+        ktruss_incremental,
+        trussness,
+    )
+    from trianglecounting_spark.operators.mis import maximal_independent_set
     from trianglecounting_spark.operators.kcore import coreness
     from trianglecounting_spark.functions import clustering as cl
     from trianglecounting_spark.functions import events as EV
@@ -303,6 +308,20 @@ def main() -> None:
         timed_rep(
             "hyperball_t3",
             lambda: hyperball_balls(_sampled(edges), t=3).count(),
+        )
+        # round-5 symmetry-breaking + decomposition lanes: MIS peels the
+        # full 1.2 M-edge graph (few rounds — dense graphs decide fast);
+        # trussness fixpoints the sampled eighth (~150 K edges — the
+        # triangle-incidence volume is the cost driver)
+        timed_rep(
+            "mis",
+            lambda: maximal_independent_set(edges)
+            .agg(F.sum("in_mis")).collect(),
+        )
+        timed_rep(
+            "trussness",
+            lambda: trussness(_sampled(edges))
+            .agg(F.max("trussness")).collect(),
         )
 
     # peel-tail regime (measured once — an A/B, not a steady-state metric):
