@@ -64,6 +64,8 @@ from trianglecounting_spark.operators.scc import (
 from trianglecounting_spark.operators.labelprop import (
     label_propagation,
     label_propagation_unrolled_sql,
+    modularity,
+    modularity_sql,
 )
 from trianglecounting_spark.operators.ktruss import (
     ktruss,
@@ -833,6 +835,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sequence — no distributed float aggregate)
     q["powerlaw_alpha"] = lambda s, d: N.powerlaw_alpha(_edges(s, d), dmin=10)
 
+    # rich-club coefficients (round 5): edge density among degree->k hubs
+    # (Colizza et al. 2006) — one exploded-k pass, no per-k scans
+    q["rich_club"] = lambda s, d: N.rich_club(_edges(s, d))
+
+    # clustering spectrum c(k) (round 5): mean local clustering by degree
+    # (Ravasz-Barabási) — integer sums per degree, one final division
+    q["clustering_by_degree"] = lambda s, d: T.clustering_by_degree(
+        _edges(s, d)
+    )
+
+    # Newman modularity Q of the 4-round LP labeling — integer-exact sums
+    # (intra-edge count + decimal(38) degree-sum squares), one final double
+    q["modularity_lp"] = lambda s, d: modularity(
+        _edges(s, d), label_propagation(_edges(s, d), rounds=4)
+    )
+
     # URL canonicalization (round 5): two deliberately-messy deterministic
     # spellings per document (mixed-case host, default port, dup slashes,
     # trailing slash, tracking params, unsorted query, fragment) — both must
@@ -894,6 +912,24 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distributed counting-sort rank, and adjacent-bigram PMI
     # collocations (Church & Hanks) with an engine-mirrored double formula
     q["vocab"] = lambda s, d: TS.build_vocab(_docs(s, d), min_count=2)
+
+    # Zipf exponent of the term-frequency distribution (round 5): corpus
+    # twin of powerlaw_alpha — same CSN ordered-fold MLE, term counts
+    q["zipf_alpha"] = lambda s, d: TS.zipf_alpha(_docs(s, d), fmin=5)
+
+    # asymmetric shingle CONTAINMENT (Broder 1997): catches small-doc-in-
+    # big-doc near-dups Jaccard misses; candidate-gated at scale
+    q["shingle_containment"] = lambda s, d: DD.shingle_containment(
+        _docs(s, d), k=8, min_containment=0.5
+    )
+
+    # Flesch Reading Ease (round 5): regex syllable heuristic, pure narrow
+    # projection — the classic readability pre-training filter
+    q["readability"] = lambda s, d: TS.readability(_docs(s, d))
+
+    # Heaps'-law vocabulary growth exponent (round 5): corpus-health twin
+    # of zipf_alpha — parity-split measurement points, integer counts
+    q["heaps_beta"] = lambda s, d: TS.heaps_beta(_docs(s, d))
     q["collocations"] = lambda s, d: TS.collocations_pmi(_docs(s, d), min_count=5)
 
     # higher-order motifs (round 5): the kClist-style k=4 extension of the
@@ -1090,6 +1126,24 @@ def extra_oracle_sql() -> dict[str, str]:
         f"{PG.canonical_url_sql('url')} AS canonical_url FROM v"
     )
     o["powerlaw_alpha"] = N.powerlaw_alpha_sql(_E, dmin=10)
+    o["rich_club"] = N.rich_club_sql(_E)
+    o["clustering_by_degree"] = (
+        _TRI_EDGES
+        + ", pv AS MATERIALIZED (SELECT x AS v, CAST(count(*) AS BIGINT) AS tri FROM "
+        "(SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY x), "
+        "dg AS (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        "per_v AS (SELECT dg.deg, coalesce(pv.tri, 0) AS tri "
+        "FROM dg LEFT JOIN pv ON pv.v = dg.v WHERE dg.deg >= 2) "
+        "SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_k, "
+        "CAST(sum(tri) AS BIGINT) AS sum_tri, "
+        "round(CAST(sum(tri) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * "
+        "CAST(deg * (deg - 1) / 2 AS DOUBLE)), 6) AS c_k "
+        "FROM per_v GROUP BY deg"
+    )
+    o["modularity_lp"] = modularity_sql(
+        _E, label_propagation_unrolled_sql(_E, rounds=4)
+    )
     o["four_clique_count"] = four_clique_sql(_E)
     o["square_count"] = square_count_sql(_E)
     o["hyperball_balls"] = hyperball_unrolled_sql(_SAMPLED_E, t=3)
@@ -1109,6 +1163,10 @@ def extra_oracle_sql() -> dict[str, str]:
     o["ann_ivf_topk"] = SIM.ann_ivf_topk_sql(n_cells=16, nprobe=2, k=5)
     o["gopher_quality"] = TS.gopher_rules_sql()
     o["vocab"] = TS.build_vocab_sql(min_count=2)
+    o["zipf_alpha"] = TS.zipf_alpha_sql(fmin=5)
+    o["shingle_containment"] = DD.shingle_containment_sql(k=8, min_containment=0.5)
+    o["readability"] = TS.readability_sql()
+    o["heaps_beta"] = TS.heaps_beta_sql()
     o["collocations"] = TS.collocations_pmi_sql(min_count=5)
     from trianglecounting_spark.operators.walks import random_walks_sql
     from trianglecounting_spark.functions import sampling as SAMP

@@ -954,3 +954,82 @@ def test_collocations_pmi_closed_form(spark):
     assert math.isclose(pmi, round(math.log((3 * 10 * 10) / (8 * 4 * 4)), 6), abs_tol=1e-9)
     assert got[("york", "new")][0] == 3
     assert ("old", "york") not in got  # under min_count
+
+
+def test_zipf_alpha_closed_form_and_empty_tail(spark):
+    """Corpus with term counts a:9, b:5, c:1. fmin=5 -> tail {a, b},
+    n_tail=2, s_ln = ln(5/4.5) + ln(9/4.5) (ascending-f fold),
+    alpha = 1 + 2/s_ln. fmin=100 -> empty tail, alpha NULL."""
+    docs = spark.createDataFrame(
+        [(1, "a " * 9), (2, "b " * 5 + "c")], "doc_id long, text string"
+    )
+    r = ts.zipf_alpha(docs, fmin=5).collect()[0]
+    assert (r.fmin, r.n_tail) == (5, 2)
+    s_ln = math.log(5 / 4.5) + math.log(9 / 4.5)
+    assert math.isclose(r.alpha, round(1.0 + 2.0 / s_ln, 6), abs_tol=1e-9)
+    r2 = ts.zipf_alpha(docs, fmin=100).collect()[0]
+    assert r2.n_tail == 0 and r2.alpha is None
+    # partitioning determinism of the ordered fold
+    r3 = ts.zipf_alpha(docs.repartition(4), fmin=5).collect()[0]
+    assert r3.alpha == r.alpha
+
+
+def test_shingle_containment_asymmetric_closed_form(spark):
+    """doc 2 is an exact substring of doc 1 (plus extra text), so every
+    shingle of 2 appears in 1: containment = 1.0 even though Jaccard is
+    low. An unrelated doc 3 shares nothing -> filtered out entirely."""
+    body = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, body + " and then runs far away into the woods tonight"),
+            (2, body),
+            (3, "zzzz completely different content qqqq xxxx yyyy wwww"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dd.shingle_containment(docs, k=5, min_containment=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b, r.containment) == (1, 2, 1.0)
+    # candidate-gated path scores the same pair identically
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r2 = dd.shingle_containment(docs, pairs, k=5, min_containment=0.9).collect()[0]
+    assert (r2.id_a, r2.id_b, r2.n_inter, r2.containment) == (
+        r.id_a, r.id_b, r.n_inter, r.containment,
+    )
+
+
+def test_readability_closed_form(spark):
+    """'The cat sat.' -> words 3, sentences 1, vowel-groups e/a/a = 3.
+    FRE = 206.835 - 1.015*3 - 84.6*1 = 119.19. Empty text -> NULL score,
+    sentence floor 1."""
+    docs = spark.createDataFrame(
+        [(1, "The cat sat."), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in ts.readability(docs).collect()}
+    r = rows[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (3, 1, 3)
+    assert math.isclose(r.flesch, round(206.835 - 1.015 * 3 - 84.6 * 1, 6), abs_tol=1e-9)
+    assert rows[2].n_words == 0 and rows[2].flesch is None
+    assert rows[2].n_sentences == 1
+
+
+def test_heaps_beta_closed_form(spark):
+    """Even-id doc contributes 4 tokens / 2 distinct terms; odd-id doc adds
+    4 more tokens and 2 NEW terms: n_half=4, v_half=2, n_full=8, v_full=4
+    -> beta = ln(4/2)/ln(8/4) = 1.0 exactly. Degenerate corpus (no growth)
+    -> beta NULL."""
+    docs = spark.createDataFrame(
+        [(2, "aa bb aa bb"), (3, "cc dd cc dd")], "doc_id long, text string"
+    )
+    r = ts.heaps_beta(docs).collect()[0]
+    assert (r.n_half, r.v_half, r.n_full, r.v_full) == (4, 2, 8, 4)
+    assert r.beta == 1.0
+    same = spark.createDataFrame(
+        [(2, "aa bb"), (3, "aa bb")], "doc_id long, text string"
+    )
+    r2 = ts.heaps_beta(same).collect()[0]
+    assert r2.beta is None and (r2.v_half, r2.v_full) == (2, 2)
+    # partitioning determinism
+    r3 = ts.heaps_beta(docs.repartition(4)).collect()[0]
+    assert r3.beta == r.beta

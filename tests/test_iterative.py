@@ -800,3 +800,24 @@ def test_coloring_matches_unrolled_sql(spark):
     )
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     assert got == want
+
+
+def test_modularity_closed_forms(spark):
+    """Two disjoint triangles with the component id as the label:
+    m=6, intra=6, sum_c d_c^2 = 2*(3*2)^2 = 72 -> Q = 1 - 72/144 = 0.5.
+    All vertices in ONE community -> Q = 1 - (2m)^2/(4m^2) = 0 exactly."""
+    from trianglecounting_spark.operators.labelprop import modularity
+
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri, "u long, v long")
+    labels = spark.createDataFrame(
+        [(v, v // 10) for v in (0, 1, 2, 10, 11, 12)], "v long, label long"
+    )
+    r = modularity(edges, labels).collect()[0]
+    assert (r.m, r.intra_edges, r.q) == (6, 6, 0.5)
+    one = labels.select("v", F.lit(0).cast("long").alias("label"))
+    r1 = modularity(edges, one).collect()[0]
+    assert (r1.m, r1.intra_edges, r1.q) == (6, 6, 0.0)
+    # partitioning determinism of the decimal/int sums
+    r2 = modularity(edges.repartition(7), labels.repartition(3)).collect()[0]
+    assert (r2.m, r2.intra_edges, r2.q) == (6, 6, 0.5)

@@ -172,3 +172,21 @@ def test_powerlaw_alpha_closed_form_and_empty_tail(spark):
     # partitioning determinism of the ordered fold
     r3 = powerlaw_alpha(star.repartition(7), dmin=10).collect()[0]
     assert r3.alpha == r.alpha
+
+
+def test_rich_club_closed_forms(spark):
+    """K4 plus a pendant leaf on vertex 0: degrees (4,3,3,3,1).
+    k=1 -> club {0,1,2,3} (deg>1): n_k=4, e_k=6 (all K4 edges), phi=1.0.
+    k=3 -> club {0}: n_k=1, e_k=0, phi NULL (needs >=2 members).
+    k=8 -> empty club: zeros, phi NULL."""
+    from trianglecounting_spark.operators.normalize import rich_club
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g_ = spark.createDataFrame(k4 + [(0, 9)], "u long, v long")
+    rows = {r.k: r for r in rich_club(g_, ks=[1, 3, 8]).collect()}
+    assert (rows[1].n_k, rows[1].e_k, rows[1].phi) == (4, 6, 1.0)
+    assert (rows[3].n_k, rows[3].e_k, rows[3].phi) == (1, 0, None)
+    assert (rows[8].n_k, rows[8].e_k, rows[8].phi) == (0, 0, None)
+    # partitioning determinism
+    rows2 = {r.k: r for r in rich_club(g_.repartition(5), ks=[1, 3, 8]).collect()}
+    assert rows == rows2

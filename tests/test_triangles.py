@@ -202,3 +202,20 @@ def test_hub_k_zero_and_env_tunables(spark):
     hubless = T.triangle_count_kernel(e, hub_k=0).collect()[0].triangles
     assert hubless == default > 0
     assert T.HUB_K_DEFAULT == 65536  # baked default when env unset
+
+
+def test_clustering_by_degree_closed_form(spark):
+    """K4 plus a pendant on vertex 0: K4 vertices each sit in 3 of the 4
+    triangles. deg=3 row: n_k=3, sum_tri=9, c_k = 9/(3*3) = 1.0;
+    deg=4 row (the hub): n_k=1, sum_tri=3, c_k = 3/6 = 0.5; the
+    degree-1 pendant is excluded (no wedges)."""
+    from trianglecounting_spark.operators.triangles import clustering_by_degree
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g_ = spark.createDataFrame(k4 + [(0, 9)], "u long, v long")
+    rows = {r.deg: r for r in clustering_by_degree(g_).collect()}
+    assert set(rows) == {3, 4}
+    assert (rows[3].n_k, rows[3].sum_tri, rows[3].c_k) == (3, 9, 1.0)
+    assert (rows[4].n_k, rows[4].sum_tri, rows[4].c_k) == (1, 3, 0.5)
+    rows2 = {r.deg: r for r in clustering_by_degree(g_.repartition(5)).collect()}
+    assert rows == rows2

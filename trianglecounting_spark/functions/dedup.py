@@ -296,6 +296,74 @@ def ngram_jaccard_all_pairs(docs: DataFrame, k: int = 5, min_jaccard: float = 0.
     )
 
 
+def shingle_containment(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    k: int = 5,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT (Broder 1997,
+    "On the resemblance and containment of documents"):
+
+        c(A, B) = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)
+
+    — catches the pairs Jaccard structurally misses: a small document
+    (quote, syndicated snippet, boilerplate block) wholly embedded in a much
+    larger one has Jaccard ≈ |small|/|large| → 0 but containment ≈ 1. The
+    standard companion filter to MinHash dedup in web-corpus pipelines.
+    Output ``(id_a, id_b, n_inter, containment)`` with id_a < id_b,
+    containment ≥ ``min_containment``, rounded 6dp.
+
+    Scale: when ``pairs`` (LSH candidates) is given, only those pairs are
+    scored — the 100 TB path, identical join shape to ``ngram_jaccard``.
+    With ``pairs=None`` the shingle self-join enumerates collision pairs
+    (the oracle-twin shape; fine at test scale, candidate-gated in
+    production). Integer intersection counts; one final division.
+    """
+    sh = shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    if pairs is None:
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        )
+    else:
+        inter = (
+            pairs.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        )
+    cont = F.col("n_inter") / F.least("na", "nb")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(cont >= min_containment)
+        .select("id_a", "id_b", "n_inter", F.round(cont, 6).alias("containment"))
+    )
+
+
+def shingle_containment_sql(k: int = 5, min_containment: float = 0.5) -> str:
+    """DuckDB twin of ``shingle_containment`` (all collision pairs)."""
+    return (
+        f"WITH sh AS (SELECT doc_id, unnest({_shingle_sql(k)}) AS shingle FROM documents), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(count(*) AS BIGINT) AS n_inter "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT i.id_a, i.id_b, i.n_inter, "
+        "round(CAST(i.n_inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment "
+        "FROM inter i JOIN sz sa ON sa.doc_id = i.id_a "
+        "JOIN sz sb ON sb.doc_id = i.id_b "
+        f"WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n, sb.n) >= {min_containment}"
+    )
+
+
 def dedup_clusters(docs: DataFrame, k: int = 5, num_hashes: int = 16,
                    bands: int = 4) -> DataFrame:
     """Near-duplicate CLUSTER assignment — the step a real dedup pipeline

@@ -990,3 +990,207 @@ def collocations_pmi_sql(min_count: int = 5, docs_rel: str = "documents") -> str
         f"JOIN uc u1 ON u1.w = p.w1 JOIN uc u2 ON u2.w = p.w2 "
         f"WHERE p.n_pair >= {min_count}"
     )
+
+
+def zipf_alpha(docs: DataFrame, fmin: int = 5) -> DataFrame:
+    """Zipf/power-law exponent of the TERM-FREQUENCY distribution — the
+    corpus-shape twin of ``normalize.powerlaw_alpha`` (degree tail): the
+    continuous-approximation Clauset-Shalizi-Newman MLE over term counts,
+
+        alpha = 1 + n_tail / Sum_{f(term) >= fmin} ln(f / (fmin - 1/2)),
+
+    the "is this corpus natural-language-shaped?" report (natural text has
+    alpha ~= 2 for the frequency distribution, Zipf 1949). Output one row
+    ``(fmin, n_tail, alpha)``, alpha at 6dp (NULL on an empty tail).
+
+    Determinism: like powerlaw_alpha, the ln-sum folds the exact integer
+    frequency-of-frequencies histogram in ascending-frequency order inside
+    one array expression — a fixed IEEE sequence mirrored in the oracle, no
+    distributed float aggregate. The histogram is at most max-term-count
+    rows (tiny vs the corpus), so the single-task fold is safe at any scale;
+    everything upstream is explode + two map-side-combined integer counts.
+    """
+    terms = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    hist = (
+        counts.where(F.col("f") >= fmin)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    folded = hist.agg(
+        F.sum("cnt").cast("long").alias("n_tail"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("f", "cnt"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s.cnt.cast("double")
+            * F.log(s.f.cast("double") / F.lit(fmin - 0.5)),
+        ).alias("s_ln"),
+    )
+    return folded.select(
+        F.lit(fmin).cast("long").alias("fmin"),
+        F.coalesce(F.col("n_tail"), F.lit(0)).cast("long").alias("n_tail"),
+        F.round(
+            F.lit(1.0) + F.col("n_tail").cast("double") / F.col("s_ln"), 6
+        ).alias("alpha"),
+    )
+
+
+def zipf_alpha_sql(fmin: int = 5, docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`zipf_alpha` — identical ascending-frequency
+    ordered fold (list_sum folds in list order)."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    return (
+        f"WITH terms AS (SELECT unnest({toks}) AS term FROM {docs_rel}), "
+        "c AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM terms GROUP BY term), "
+        f"hist AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt FROM c "
+        f"WHERE f >= {fmin} GROUP BY f), "
+        "fold AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_tail, "
+        "list_sum(list_transform(list_sort(list(struct_pack(f := f, c := cnt))), "
+        f"s -> CAST(s.c AS DOUBLE) * ln(CAST(s.f AS DOUBLE) / {fmin - 0.5}))) "
+        "AS s_ln FROM hist) "
+        f"SELECT CAST({fmin} AS BIGINT) AS fmin, n_tail, "
+        "round(1.0 + CAST(n_tail AS DOUBLE) / s_ln, 6) AS alpha FROM fold"
+    )
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch Reading Ease per document with a deterministic regex syllable
+    heuristic — the classic "is this readable prose?" pre-training filter
+    (Flesch 1948):
+
+        FRE = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    Words = WORD_RE tokens; sentences = runs of ``[.!?]`` (floor 1);
+    syllables = vowel-group runs ``[aeiouy]+`` in the lowercased text (the
+    standard cheap approximation — exact syllabification needs a dictionary).
+    All three counts are exact integers from one regexp pass each; the score
+    is ONE fixed double expression mirrored in the oracle, rounded 6dp
+    (NULL for word-less documents). Output
+    ``(doc_id, n_words, n_sentences, n_syllables, flesch)``.
+
+    Scale: a pure narrow projection — no shuffle, no UDF, whole-stage
+    codegen'd except the regexp calls themselves.
+    """
+    lower = F.lower(F.col("text"))
+    n_words = F.size(F.regexp_extract_all(lower, F.lit(WORD_RE), 0)).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    n_syl = F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    w = F.col("n_words").cast("double")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (w / F.col("n_sentences").cast("double"))
+                - F.lit(84.6) * (F.col("n_syllables").cast("double") / w),
+                6,
+            ),
+        ).alias("flesch"),
+    )
+
+
+def readability_sql(docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`readability` — identical regexes and the same
+    parenthesized double expression."""
+    return (
+        f"WITH b AS (SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9'']+')) AS BIGINT) AS n_words, "
+        f"CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences, "
+        f"CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables "
+        f"FROM {docs_rel}) "
+        "SELECT doc_id, n_words, n_sentences, n_syllables, "
+        "CASE WHEN n_words > 0 THEN round(206.835 "
+        "- 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+        "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) "
+        "END AS flesch FROM b"
+    )
+
+
+def heaps_beta(docs: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent: V(N) = K·N^β (natural text has
+    β ≈ 0.4–0.6; near-duplicated / templated corpora show depressed β — a
+    corpus-health check next to ``zipf_alpha``). Estimated from two
+    deterministic measurement points — the even-doc_id half and the full
+    corpus:
+
+        beta = ln(V_full / V_half) / ln(N_full / N_half)
+
+    Output one row ``(n_half, v_half, n_full, v_full, beta)``; counts are
+    exact integers (token totals N and distinct-term vocabularies V), beta
+    one fixed double expression at 6dp (NULL when the ratio is degenerate:
+    empty half or no token growth). Deterministic by construction — the
+    "half" is a doc_id-parity predicate, not a sample.
+
+    Scale: one explode over the corpus feeding two map-side-combined
+    aggregates (conditional sums + two count_distincts); no extra pass for
+    the half.
+    """
+    terms = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("in_half"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("term"),
+    )
+    agg = terms.agg(
+        F.sum(F.col("in_half").cast("long")).alias("n_half"),
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        F.count_distinct(F.when(F.col("in_half"), F.col("term"))).alias("v_half"),
+        F.count_distinct("term").alias("v_full"),
+    )
+    ok = (
+        (F.col("n_half") > 0)
+        & (F.col("n_full") > F.col("n_half"))
+        & (F.col("v_half") > 0)
+        & (F.col("v_full") > F.col("v_half"))
+    )
+    return agg.select(
+        F.coalesce("n_half", F.lit(0)).cast("long").alias("n_half"),
+        F.col("v_half").cast("long").alias("v_half"),
+        F.col("n_full").cast("long").alias("n_full"),
+        F.col("v_full").cast("long").alias("v_full"),
+        F.when(
+            ok,
+            F.round(
+                F.log(F.col("v_full").cast("double") / F.col("v_half").cast("double"))
+                / F.log(F.col("n_full").cast("double") / F.col("n_half").cast("double")),
+                6,
+            ),
+        ).alias("beta"),
+    )
+
+
+def heaps_beta_sql(docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`heaps_beta` — identical parity split and the
+    same parenthesized double expression."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    return (
+        f"WITH terms AS (SELECT (doc_id % 2 = 0) AS in_half, "
+        f"unnest({toks}) AS term FROM {docs_rel}), "
+        "a AS (SELECT CAST(coalesce(sum(CASE WHEN in_half THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_half, "
+        "CAST(count(*) AS BIGINT) AS n_full, "
+        "CAST(count(DISTINCT CASE WHEN in_half THEN term END) AS BIGINT) AS v_half, "
+        "CAST(count(DISTINCT term) AS BIGINT) AS v_full FROM terms) "
+        "SELECT n_half, v_half, n_full, v_full, "
+        "CASE WHEN n_half > 0 AND n_full > n_half AND v_half > 0 AND v_full > v_half "
+        "THEN round(ln(CAST(v_full AS DOUBLE) / CAST(v_half AS DOUBLE)) "
+        "/ ln(CAST(n_full AS DOUBLE) / CAST(n_half AS DOUBLE)), 6) END AS beta "
+        "FROM a"
+    )

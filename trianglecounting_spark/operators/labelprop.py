@@ -103,3 +103,78 @@ def label_propagation_unrolled_sql(edges_sql: str, rounds: int = 4) -> str:
         ", ".join(parts)
         + f" SELECT v, CAST(label AS BIGINT) AS label FROM l{rounds} ORDER BY v"
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a labeling over the canonical edge table —
+    the community-quality scalar every LP/louvain pipeline reports:
+
+        Q = Σ_c [ e_c/m − (d_c/2m)² ] = E_in/m − (Σ_c d_c²)/(4m²)
+
+    computed from EXACT integer sums (E_in = intra-community edge count;
+    d_c = community degree sums, squared in decimal(38) so a giant
+    community cannot overflow int64), with ONE double expression at the
+    end — bit-identical across engines/partitionings like graph_stats'
+    assortativity. Output: one row ``(m, intra_edges, q)``, q at 6dp.
+
+    Scale: one labels join per endpoint (same shape as every per-round LP
+    join) + two map-side-combined aggregates; no per-community pass.
+    """
+    lu = labels.select(F.col("v").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("v").alias("v"), F.col("label").alias("lv"))
+    j = edges.join(lu, "u").join(lv, "v")
+    ecounts = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum((F.col("lu") == F.col("lv")).cast("long")).alias("intra"),
+    )
+    from trianglecounting_spark.operators.normalize import degrees
+
+    dsum = (
+        degrees(edges)
+        .join(labels, "v")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+        .agg(
+            F.sum(
+                F.col("d_c").cast("decimal(38,0)") * F.col("d_c").cast("decimal(38,0)")
+            ).alias("sum_d2")
+        )
+    )
+    out = ecounts.crossJoin(dsum)
+    m = F.col("m").cast("double")
+    return out.select(
+        F.col("m").cast("long").alias("m"),
+        F.col("intra").cast("long").alias("intra_edges"),
+        F.round(
+            F.col("intra").cast("double") / m
+            - F.col("sum_d2").cast("double") / (F.lit(4.0) * m * m),
+            6,
+        ).alias("q"),
+    )
+
+
+def modularity_sql(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB twin of ``modularity`` (labels from any labeling query with
+    columns (v, label) — e.g. ``label_propagation_unrolled_sql``)."""
+    # CTE names are mq_-prefixed: labels_sql is typically itself a WITH
+    # query (e.g. the unrolled LP oracle) nested as a subquery, and DuckDB
+    # rejects duplicate CTE aliases across the two scopes.
+    return (
+        f"WITH mq_e AS MATERIALIZED ({edges_sql}), "
+        f"mq_lab AS MATERIALIZED (SELECT v, label FROM ({labels_sql})), "
+        "mq_deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM mq_e UNION ALL SELECT v AS x FROM mq_e) GROUP BY x), "
+        "mq_ec AS (SELECT count(*) AS m, "
+        "sum(CASE WHEN lu.label = lv.label THEN 1 ELSE 0 END) AS intra "
+        "FROM mq_e JOIN mq_lab lu ON lu.v = mq_e.u "
+        "JOIN mq_lab lv ON lv.v = mq_e.v), "
+        "mq_ds AS (SELECT sum(CAST(d_c AS HUGEINT) * CAST(d_c AS HUGEINT)) AS sum_d2 "
+        "FROM (SELECT mq_lab.label, sum(mq_deg.deg) AS d_c FROM mq_deg "
+        "JOIN mq_lab ON mq_lab.v = mq_deg.v GROUP BY mq_lab.label)) "
+        "SELECT CAST(mq_ec.m AS BIGINT) AS m, "
+        "CAST(mq_ec.intra AS BIGINT) AS intra_edges, "
+        "round(CAST(mq_ec.intra AS DOUBLE) / CAST(mq_ec.m AS DOUBLE) "
+        "- CAST(mq_ds.sum_d2 AS DOUBLE) / "
+        "(4.0 * CAST(mq_ec.m AS DOUBLE) * CAST(mq_ec.m AS DOUBLE)), 6) AS q "
+        "FROM mq_ec, mq_ds"
+    )

@@ -334,3 +334,77 @@ def powerlaw_alpha_sql(edges_sql: str, dmin: int = 10) -> str:
         f"SELECT CAST({dmin} AS BIGINT) AS dmin, n_tail, "
         "round(1.0 + CAST(n_tail AS DOUBLE) / s_ln, 6) AS alpha FROM f"
     )
+
+
+def rich_club(edges: DataFrame, ks: list[int] | None = None) -> DataFrame:
+    """Rich-club coefficients: for each threshold k, the edge density among
+    vertices of degree > k (Colizza et al. 2006) — the "do hubs link to
+    hubs?" web-science report, one row per k:
+    ``(k, n_k, e_k, phi)`` with phi = 2·e_k / (n_k·(n_k−1)), 6dp (NULL when
+    n_k < 2).
+
+    All counts are exact integers (one degree join + one filter per the
+    exploded k list); the only float is the final per-row division. Scale:
+    the k list is a literal array — one explode (×|ks|) over the degree
+    table and one over the degree-joined edges, both map-side-combined
+    counts; no per-k passes over the graph.
+    """
+    ks = ks or [2, 4, 8, 16, 32, 64]
+    karr = F.array([F.lit(k) for k in ks])
+    deg = degrees(edges).localCheckpoint(eager=False)
+    nk = (
+        deg.select(F.explode(karr).alias("k"), "deg")
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("v").alias("v"), F.col("deg").alias("dv"))
+    ek = (
+        edges.join(du, "u").join(dv, "v")
+        .select(F.explode(karr).alias("k"), "du", "dv")
+        .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    base = edges.sparkSession.createDataFrame([(k,) for k in ks], "k long")
+    return (
+        base.join(nk, "k", "left").join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.when(
+                F.coalesce("n_k", F.lit(0)) >= 2,
+                F.round(
+                    F.lit(2.0) * F.coalesce("e_k", F.lit(0))
+                    / (F.col("n_k") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )
+
+
+def rich_club_sql(edges_sql: str, ks: list[int] | None = None) -> str:
+    """DuckDB twin of ``rich_club``."""
+    ks = ks or [2, 4, 8, 16, 32, 64]
+    klist = ", ".join(f"({k})" for k in ks)
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        f"ks(k) AS (VALUES {klist}), "
+        "nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM ks, deg "
+        "WHERE deg > k GROUP BY k), "
+        "ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k FROM ks, "
+        "(SELECT du.deg AS du, dv.deg AS dv FROM e "
+        "JOIN deg du ON du.v = e.u JOIN deg dv ON dv.v = e.v) "
+        "WHERE du > k AND dv > k GROUP BY k) "
+        "SELECT CAST(ks.k AS BIGINT) AS k, "
+        "CAST(coalesce(nk.n_k, 0) AS BIGINT) AS n_k, "
+        "CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k, "
+        "CASE WHEN coalesce(nk.n_k, 0) >= 2 THEN "
+        "round(2.0 * coalesce(ek.e_k, 0) / (nk.n_k * (nk.n_k - 1)), 6) END AS phi "
+        "FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k"
+    )

@@ -156,6 +156,47 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     )
 
 
+def clustering_by_degree(edges: DataFrame) -> DataFrame:
+    """Clustering spectrum c(k): mean local clustering coefficient over
+    vertices of each degree k ≥ 2 — the Ravasz-Barabási hierarchy plot
+    (c(k) ~ k^-1 signals hierarchical modularity in web graphs). Output one
+    row per occupied degree: ``(deg, n_k, sum_tri, c_k)``.
+
+    Every vertex of degree k has the SAME wedge denominator k(k−1)/2, so
+    the mean of per-vertex ratios collapses to exact integers until one
+    final division:  c(k) = Σ_v tri_v / (n_k · k(k−1)/2)  — no distributed
+    float aggregate, bit-stable across partitionings. One extra
+    map-side-combined groupBy over the per-vertex table (≤ max_deg rows
+    out); the triangle kernel cost is shared with ``clustering``.
+    """
+    from trianglecounting_spark.operators.normalize import degrees
+
+    per_v = clustering_coefficients(edges).join(
+        degrees(edges), "v"
+    )
+    return (
+        per_v.where(F.col("deg") >= 2)
+        .groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum("tri").cast("long").alias("sum_tri"),
+        )
+        .select(
+            "deg",
+            "n_k",
+            "sum_tri",
+            F.round(
+                F.col("sum_tri").cast("double")
+                / (
+                    F.col("n_k").cast("double")
+                    * (F.col("deg") * (F.col("deg") - 1) / F.lit(2)).cast("double")
+                ),
+                6,
+            ).alias("c_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Plan 2: Arrow-vectorized intersection kernel over co-partitioned adjacency
 # ---------------------------------------------------------------------------
