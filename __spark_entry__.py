@@ -845,6 +845,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _edges(s, d)
     )
 
+    # degree-correlation spectrum k_nn(k) (round 5): average neighbor
+    # degree by degree — same integer-collapse trick as c(k)
+    q["knn_by_degree"] = lambda s, d: T.knn_by_degree(_edges(s, d))
+
+    # per-edge neighborhood Jaccard / tie strength (round 5): jaccard-0
+    # edges are the local bridges; support rides the per-edge kernel
+    q["edge_jaccard"] = lambda s, d: T.edge_jaccard(_edges(s, d))
+
     # Newman modularity Q of the 4-round LP labeling — integer-exact sums
     # (intra-edge count + decimal(38) degree-sum squares), one final double
     q["modularity_lp"] = lambda s, d: modularity(
@@ -1127,6 +1135,17 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     o["powerlaw_alpha"] = N.powerlaw_alpha_sql(_E, dmin=10)
     o["rich_club"] = N.rich_club_sql(_E)
+    o["knn_by_degree"] = T.knn_by_degree_sql(_E)
+    o["edge_jaccard"] = (
+        _SUPPORT
+        + ", dg AS (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x) "
+        "SELECT fs.u, fs.v, fs.support, "
+        "CASE WHEN du.deg + dv.deg - 2 - fs.support > 0 THEN "
+        "round(CAST(fs.support AS DOUBLE) / "
+        "CAST(du.deg + dv.deg - 2 - fs.support AS DOUBLE), 6) END AS jaccard "
+        "FROM full_sup fs JOIN dg du ON du.v = fs.u JOIN dg dv ON dv.v = fs.v"
+    )
     o["clustering_by_degree"] = (
         _TRI_EDGES
         + ", pv AS MATERIALIZED (SELECT x AS v, CAST(count(*) AS BIGINT) AS tri FROM "

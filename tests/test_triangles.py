@@ -219,3 +219,34 @@ def test_clustering_by_degree_closed_form(spark):
     assert (rows[4].n_k, rows[4].sum_tri, rows[4].c_k) == (1, 3, 0.5)
     rows2 = {r.deg: r for r in clustering_by_degree(g_.repartition(5)).collect()}
     assert rows == rows2
+
+
+def test_knn_by_degree_closed_form(spark):
+    """Star K1,4: hub deg 4 with four deg-1 neighbors -> knn(4) = 4/(1*4)=1.0;
+    leaves deg 1, each neighbor (the hub) has deg 4 -> knn(1) = 16/(4*1)=4.0
+    — the textbook disassortative spectrum."""
+    from trianglecounting_spark.operators.triangles import knn_by_degree
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "u long, v long")
+    rows = {r.deg: r for r in knn_by_degree(star).collect()}
+    assert (rows[4].n_k, rows[4].sum_nbr_deg, rows[4].knn) == (1, 4, 1.0)
+    assert (rows[1].n_k, rows[1].sum_nbr_deg, rows[1].knn) == (4, 16, 4.0)
+    rows2 = {r.deg: r for r in knn_by_degree(star.repartition(3)).collect()}
+    assert rows == rows2
+
+
+def test_edge_jaccard_closed_form(spark):
+    """Triangle 0-1-2 plus pendant 2-9. Edge (0,1): support 1, degs 2,2 ->
+    jaccard = 1/(2+2-2-1) = 1.0. Edge (0,2): support 1, degs 2,3 ->
+    1/(2+3-2-1) = 0.5. Pendant (2,9): support 0, degs 3,1 ->
+    0/(3+1-2-0) = 0.0. Isolated edge -> NULL (empty union)."""
+    from trianglecounting_spark.operators.triangles import edge_jaccard
+
+    g_ = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 9), (100, 101)], "u long, v long"
+    )
+    rows = {(r.u, r.v): r for r in edge_jaccard(g_).collect()}
+    assert (rows[(0, 1)].support, rows[(0, 1)].jaccard) == (1, 1.0)
+    assert (rows[(0, 2)].support, rows[(0, 2)].jaccard) == (1, 0.5)
+    assert (rows[(2, 9)].support, rows[(2, 9)].jaccard) == (0, 0.0)
+    assert rows[(100, 101)].jaccard is None

@@ -948,3 +948,101 @@ def triangle_count_approx_sql(edges_sql: str, p_inv: int = 4, seed: int = 42) ->
         f"SELECT CAST(n * {p_inv ** 3} AS BIGINT) AS triangles_est, "
         "n AS sampled_triangles FROM c"
     )
+
+
+def knn_by_degree(edges: DataFrame) -> DataFrame:
+    """Average-neighbor-degree spectrum k_nn(k) (Pastor-Satorras et al.
+    2001) — the degree-correlation companion to ``clustering_by_degree``:
+    rising k_nn(k) = assortative (social-network-like), falling =
+    disassortative (web/internet-like). Output one row per occupied degree:
+    ``(deg, n_k, sum_nbr_deg, knn)``.
+
+    Every vertex of degree k divides its neighbor-degree sum by the SAME k,
+    so the mean-of-means collapses to exact integers until one division:
+    k_nn(k) = Σ_v sum_nbr_deg_v / (n_k · k) — bit-stable across
+    partitionings. Plan: one degree join per endpoint on the symmetric edge
+    list (the same vertex-keyed shuffle every per-round LP join uses), two
+    map-side-combined aggregates; output ≤ max_deg rows.
+    """
+    from trianglecounting_spark.operators.normalize import degrees, undirect
+
+    deg = degrees(edges).localCheckpoint(eager=False)
+    sym = undirect(edges)
+    dd_ = deg.select(F.col("v").alias("dst"), F.col("deg").alias("nbr_deg"))
+    per_v = (
+        sym.join(dd_, "dst")
+        .groupBy("src")
+        .agg(F.sum("nbr_deg").cast("long").alias("sum_nbr_deg"))
+        .withColumnRenamed("src", "v")
+        .join(deg, "v")
+    )
+    return (
+        per_v.groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum("sum_nbr_deg").cast("long").alias("sum_nbr_deg"),
+        )
+        .select(
+            "deg",
+            "n_k",
+            "sum_nbr_deg",
+            F.round(
+                F.col("sum_nbr_deg").cast("double")
+                / (F.col("n_k").cast("double") * F.col("deg").cast("double")),
+                6,
+            ).alias("knn"),
+        )
+    )
+
+
+def knn_by_degree_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``knn_by_degree``."""
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        "sym AS (SELECT u AS src, v AS dst FROM e "
+        "UNION ALL SELECT v AS src, u AS dst FROM e), "
+        "per_v AS (SELECT s.src AS v, sum(d.deg) AS sum_nbr_deg "
+        "FROM sym s JOIN deg d ON d.v = s.dst GROUP BY s.src) "
+        "SELECT CAST(deg.deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_k, "
+        "CAST(sum(p.sum_nbr_deg) AS BIGINT) AS sum_nbr_deg, "
+        "round(CAST(sum(p.sum_nbr_deg) AS DOUBLE) / "
+        "(CAST(count(*) AS DOUBLE) * CAST(deg.deg AS DOUBLE)), 6) AS knn "
+        "FROM per_v p JOIN deg ON deg.v = p.v GROUP BY deg.deg"
+    )
+
+
+def edge_jaccard(edges: DataFrame) -> DataFrame:
+    """Per-edge neighborhood Jaccard (tie strength / embeddedness,
+    Granovetter-style): for edge (u,v) with triangle support s,
+
+        jaccard = s / (deg(u) + deg(v) − 2 − s)
+
+    — |N(u)∩N(v)| is exactly the edge's triangle support, and
+    |N(u)∪N(v)\\{u,v}| = deg(u)+deg(v)−2−s. Edges with jaccard 0 are LOCAL
+    BRIDGES (no shared neighbors) — the weak ties that hold web communities
+    together. Output ``(u, v, support, jaccard)``; integer support rides
+    the existing per-edge kernel, one degree join per endpoint, one final
+    division at 6dp (a 2-path pendant edge has empty union → NULL).
+    """
+    from trianglecounting_spark.operators.normalize import degrees
+
+    sup = triangle_per_edge_support(edges)
+    deg = degrees(edges)
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("v").alias("v"), F.col("deg").alias("dv"))
+    denom = F.col("du") + F.col("dv") - F.lit(2) - F.col("support")
+    return (
+        sup.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "support",
+            F.when(
+                denom > 0,
+                F.round(F.col("support").cast("double") / denom.cast("double"), 6),
+            ).alias("jaccard"),
+        )
+    )
