@@ -849,6 +849,24 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # degree by degree — same integer-collapse trick as c(k)
     q["knn_by_degree"] = lambda s, d: T.knn_by_degree(_edges(s, d))
 
+    # degree Gini (round 5): hub-concentration scalar — decimal(38) sums
+    # over the degree histogram, float only in the final expression
+    q["degree_gini"] = lambda s, d: N.degree_gini(_edges(s, d))
+
+    # temperature-based domain re-weighting (round 5): the data-mixing
+    # step — n^alpha draw weights, normalizer via count-histogram fold
+    def _domain_mixture(s, d):
+        from trianglecounting_spark.functions import sampling as SAMP
+
+        return SAMP.domain_mixture(
+            _docs(s, d).select(
+                (F.col("doc_id") % 50).cast("long").alias("domain")
+            ),
+            alpha=0.7,
+        )
+
+    q["domain_mixture"] = _domain_mixture
+
     # per-edge neighborhood Jaccard / tie strength (round 5): jaccard-0
     # edges are the local bridges; support rides the per-edge kernel
     q["edge_jaccard"] = lambda s, d: T.edge_jaccard(_edges(s, d))
@@ -1136,6 +1154,13 @@ def extra_oracle_sql() -> dict[str, str]:
     o["powerlaw_alpha"] = N.powerlaw_alpha_sql(_E, dmin=10)
     o["rich_club"] = N.rich_club_sql(_E)
     o["knn_by_degree"] = T.knn_by_degree_sql(_E)
+    o["degree_gini"] = N.degree_gini_sql(_E)
+    from trianglecounting_spark.functions import sampling as SAMP2
+
+    o["domain_mixture"] = SAMP2.domain_mixture_sql(
+        "SELECT CAST(doc_id % 50 AS BIGINT) AS domain FROM documents",
+        alpha=0.7,
+    )
     o["edge_jaccard"] = (
         _SUPPORT
         + ", dg AS (SELECT x AS v, count(*) AS deg FROM "

@@ -1033,3 +1033,26 @@ def test_heaps_beta_closed_form(spark):
     # partitioning determinism
     r3 = ts.heaps_beta(docs.repartition(4)).collect()[0]
     assert r3.beta == r.beta
+
+
+def test_domain_mixture_closed_form(spark):
+    """Domains with counts 1, 1, 4 at alpha=0.5: weights 1/4, 1/4, 2/4
+    (S = 1 + 1 + 2 = 4) and they sum to 1. alpha=1 reproduces natural
+    frequency (1/6, 1/6, 4/6)."""
+    from trianglecounting_spark.functions import sampling as smp
+
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("c",), ("c",), ("c",)], "domain string"
+    )
+    rows = {r.domain: r for r in smp.domain_mixture(docs, alpha=0.5).collect()}
+    assert (rows["a"].n_docs, rows["a"].weight) == (1, 0.25)
+    assert rows["b"].weight == 0.25
+    assert (rows["c"].n_docs, rows["c"].weight) == (4, 0.5)
+    nat = {r.domain: r.weight for r in smp.domain_mixture(docs, alpha=1.0).collect()}
+    assert math.isclose(nat["c"], round(4 / 6, 6), abs_tol=1e-9)
+    # partitioning determinism of the histogram-fold normalizer
+    rows2 = {
+        r.domain: r.weight
+        for r in smp.domain_mixture(docs.repartition(5), alpha=0.5).collect()
+    }
+    assert rows2 == {d: r.weight for d, r in rows.items()}

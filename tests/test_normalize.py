@@ -190,3 +190,23 @@ def test_rich_club_closed_forms(spark):
     # partitioning determinism
     rows2 = {r.k: r for r in rich_club(g_.repartition(5), ks=[1, 3, 8]).collect()}
     assert rows == rows2
+
+
+def test_degree_gini_closed_forms(spark):
+    """Regular graph (triangle: all degrees 2) -> gini 0. Star K1,4:
+    degrees sorted [1,1,1,1,4], n=5, T=8, 2*sum(i*d) = 2*(1+2+3+4+20) = 60,
+    G = 60/40 - 6/5 = 0.3 (checked against the mean-absolute-difference
+    form: MAD 24/25, G = 0.96/(2*1.6) = 0.3)."""
+    import math
+
+    from trianglecounting_spark.operators.normalize import degree_gini
+
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "u long, v long")
+    r = degree_gini(tri).collect()[0]
+    assert (r.n, r.sum_deg, r.gini) == (3, 6, 0.0)
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "u long, v long")
+    r2 = degree_gini(star).collect()[0]
+    assert (r2.n, r2.sum_deg) == (5, 8)
+    assert math.isclose(r2.gini, 0.3, abs_tol=1e-9)
+    r3 = degree_gini(star.repartition(7)).collect()[0]
+    assert r3.gini == r2.gini

@@ -77,3 +77,58 @@ def stratified_sample_sql(table: str, strata_cols: list[str], id_col: str,
         f"(({id_col} % {_M}) * {_A} + {seed}) % {_M} ASC, {id_col} ASC) AS rk "
         f"FROM {table}) WHERE rk <= {cap} ORDER BY {id_col}"
     )
+
+
+def domain_mixture(docs: DataFrame, domain_col: str = "domain",
+                   alpha: float = 0.7) -> DataFrame:
+    """Temperature-based domain re-weighting — the data-MIXING step after
+    sampling: each domain's draw probability is proportional to
+    ``n_docs^alpha`` (alpha < 1 up-weights small domains / down-weights
+    mega-domains; alpha = 1 is natural frequency, alpha = 0 uniform — the
+    multinomial temperature scheme used for corpus/language balancing).
+    Output one row per domain: ``(domain, n_docs, weight)`` with
+    Σ weight = 1 (6dp).
+
+    Determinism: per-domain ``pow(n, alpha)`` is a single IEEE op, but the
+    normalizer Σ_d n_d^alpha must NOT be a distributed float sum. Like
+    ``powerlaw_alpha``, it folds the exact integer count-HISTOGRAM
+    (Σ_c k_c·c^alpha over counts c ascending) — at most max-count rows, a
+    fixed operation sequence mirrored in the oracle. Everything else is two
+    map-side-combined integer counts + one tiny crossJoin of the scalar.
+    """
+    counts = docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    hist = counts.groupBy("n_docs").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    norm = hist.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("n_docs").alias("c"), "k"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s.k.cast("double") * F.pow(s.c.cast("double"), F.lit(alpha)),
+        ).alias("__s")
+    )
+    return counts.crossJoin(norm).select(
+        F.col(domain_col).alias("domain"),
+        "n_docs",
+        F.round(
+            F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("__s"), 6
+        ).alias("weight"),
+    )
+
+
+def domain_mixture_sql(docs_sql: str, domain_col: str = "domain",
+                       alpha: float = 0.7) -> str:
+    """DuckDB twin of :func:`domain_mixture` — identical ascending-count
+    histogram fold for the normalizer."""
+    return (
+        f"WITH src AS ({docs_sql}), "
+        f"c AS (SELECT {domain_col} AS domain, CAST(count(*) AS BIGINT) AS n_docs "
+        f"FROM src GROUP BY {domain_col}), "
+        "h AS (SELECT n_docs AS cc, CAST(count(*) AS BIGINT) AS k FROM c GROUP BY n_docs), "
+        "s AS (SELECT list_sum(list_transform(list_sort(list(struct_pack(c := cc, k := k))), "
+        f"x -> CAST(x.k AS DOUBLE) * pow(CAST(x.c AS DOUBLE), {alpha}))) AS sv FROM h) "
+        f"SELECT c.domain, c.n_docs, "
+        f"round(pow(CAST(c.n_docs AS DOUBLE), {alpha}) / s.sv, 6) AS weight "
+        "FROM c, s"
+    )

@@ -408,3 +408,89 @@ def rich_club_sql(edges_sql: str, ks: list[int] | None = None) -> str:
         "round(2.0 * coalesce(ek.e_k, 0) / (nk.n_k * (nk.n_k - 1)), 6) END AS phi "
         "FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k"
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """Gini coefficient of the degree distribution — the standard
+    "how centralized is this web graph?" inequality scalar (0 = regular
+    graph, →1 = one mega-hub):
+
+        G = (2·Σ_i i·d_(i)) / (n·Σd) − (n+1)/n,   d sorted ascending.
+
+    Output one row ``(n, sum_deg, gini)``, gini at 6dp (NULL when n < 2 or
+    the degree sum is 0).
+
+    Exactness: over each group of equal degrees at cumulative offset
+    ``cum``, 2·Σ i·d collapses to the integer d·cnt·(2·cum + cnt + 1), so
+    the whole numerator is one decimal(38) sum of per-degree integer terms
+    — no float until the final expression, bit-stable across
+    partitionings. The running offset is a window over the degree
+    HISTOGRAM (≤ max_deg rows — a single-task window over a tiny table,
+    same bound as powerlaw_alpha's fold), never over the vertex table.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        degrees(edges)
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, -1)
+    dec = "decimal(38,0)"
+    terms = hist.select(
+        "deg",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum"),
+    ).select(
+        F.col("cnt").cast(dec).alias("cnt_d"),
+        (F.col("deg").cast(dec) * F.col("cnt").cast(dec)).alias("dsum"),
+        (
+            F.col("deg").cast(dec)
+            * F.col("cnt").cast(dec)
+            * (
+                F.lit(2).cast(dec) * F.col("cum").cast(dec)
+                + F.col("cnt").cast(dec)
+                + F.lit(1).cast(dec)
+            )
+        ).alias("num2"),
+    )
+    agg = terms.agg(
+        F.sum("cnt_d").alias("n"),
+        F.sum("dsum").alias("sum_deg"),
+        F.sum("num2").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_deg").cast("long").alias("sum_deg"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("sum_deg") > 0),
+            F.round(
+                F.col("s2").cast("double") / (n * F.col("sum_deg").cast("double"))
+                - (n + F.lit(1.0)) / n,
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+def degree_gini_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``degree_gini`` — identical histogram window and the
+    same parenthesized final expression."""
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "deg AS (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        "hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY deg), "
+        "t AS (SELECT deg, cnt, CAST(coalesce(sum(cnt) OVER "
+        "(ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum "
+        "FROM hist), "
+        "a AS (SELECT sum(CAST(cnt AS HUGEINT)) AS n, "
+        "sum(CAST(deg AS HUGEINT) * CAST(cnt AS HUGEINT)) AS sum_deg, "
+        "sum(CAST(deg AS HUGEINT) * CAST(cnt AS HUGEINT) * "
+        "(2 * CAST(cum AS HUGEINT) + CAST(cnt AS HUGEINT) + 1)) AS s2 FROM t) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(sum_deg AS BIGINT) AS sum_deg, "
+        "CASE WHEN n >= 2 AND sum_deg > 0 THEN "
+        "round(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sum_deg AS DOUBLE)) "
+        "- (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) END AS gini FROM a"
+    )
