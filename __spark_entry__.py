@@ -943,6 +943,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # twin of powerlaw_alpha — same CSN ordered-fold MLE, term counts
     q["zipf_alpha"] = lambda s, d: TS.zipf_alpha(_docs(s, d), fmin=5)
 
+    # tokenizer application (round 5): encode docs as (pos, vocab_id)
+    # against the frequency-ranked vocab; OOV = -1; vocab broadcast
+    q["encode_docs"] = lambda s, d: TS.encode_docs(
+        _docs(s, d), TS.build_vocab(_docs(s, d), min_count=2)
+    )
+
     # asymmetric shingle CONTAINMENT (Broder 1997): catches small-doc-in-
     # big-doc near-dups Jaccard misses; candidate-gated at scale
     q["shingle_containment"] = lambda s, d: DD.shingle_containment(
@@ -956,6 +962,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Heaps'-law vocabulary growth exponent (round 5): corpus-health twin
     # of zipf_alpha — parity-split measurement points, integer counts
     q["heaps_beta"] = lambda s, d: TS.heaps_beta(_docs(s, d))
+
+    # benchmark decontamination (round 5): flag training docs sharing any
+    # word-8-gram with the (deterministic doc_id%97) eval split
+    def _decontaminate(s, d):
+        docs = _docs(s, d)
+        is_eval = F.col("doc_id") % 97 == 0
+        return TS.decontaminate(
+            docs.where(~is_eval), docs.where(is_eval), n=8
+        )
+
+    q["decontaminate"] = _decontaminate
     q["collocations"] = lambda s, d: TS.collocations_pmi(_docs(s, d), min_count=5)
 
     # higher-order motifs (round 5): the kClist-style k=4 extension of the
@@ -1208,9 +1225,11 @@ def extra_oracle_sql() -> dict[str, str]:
     o["gopher_quality"] = TS.gopher_rules_sql()
     o["vocab"] = TS.build_vocab_sql(min_count=2)
     o["zipf_alpha"] = TS.zipf_alpha_sql(fmin=5)
+    o["encode_docs"] = TS.encode_docs_sql(min_count=2)
     o["shingle_containment"] = DD.shingle_containment_sql(k=8, min_containment=0.5)
     o["readability"] = TS.readability_sql()
     o["heaps_beta"] = TS.heaps_beta_sql()
+    o["decontaminate"] = TS.decontaminate_sql(n=8, eval_pred="doc_id % 97 = 0")
     o["collocations"] = TS.collocations_pmi_sql(min_count=5)
     from trianglecounting_spark.operators.walks import random_walks_sql
     from trianglecounting_spark.functions import sampling as SAMP

@@ -1056,3 +1056,41 @@ def test_domain_mixture_closed_form(spark):
         for r in smp.domain_mixture(docs.repartition(5), alpha=0.5).collect()
     }
     assert rows2 == {d: r.weight for d, r in rows.items()}
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    """Training doc 1 contains the eval doc's 4-gram verbatim (embedded in
+    longer text); doc 2 shares words but no 4-gram; doc 3 repeats the eval
+    4-gram twice but it counts ONCE (distinct grams)."""
+    ev = spark.createDataFrame(
+        [(100, "the secret eval answer")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "prefix words the secret eval answer suffix words"),
+            (2, "the secret answer eval scrambled order here now"),
+            (3, "the secret eval answer and the secret eval answer"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ts.decontaminate(tr, ev, n=4).collect()}
+    assert (rows[1].n_hits, rows[1].contaminated) == (1, True)
+    assert (rows[2].n_hits, rows[2].contaminated) == (0, False)
+    assert (rows[3].n_hits, rows[3].contaminated) == (1, True)
+
+
+def test_encode_docs_ids_positions_and_oov(spark):
+    """Corpus 'aa bb aa cc' / 'aa aa bb': vocab at min_count=2 ranks
+    aa (4) -> id 0, bb (2) -> id 1; cc is OOV -> -1. Positions 0-based in
+    token order."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa aa bb")], "doc_id long, text string"
+    )
+    vocab = ts.build_vocab(docs, min_count=2)
+    got = sorted(
+        (r.doc_id, r.pos, r.vocab_id) for r in ts.encode_docs(docs, vocab).collect()
+    )
+    assert got == [
+        (1, 0, 0), (1, 1, 1), (1, 2, 0), (1, 3, -1),
+        (2, 0, 0), (2, 1, 0), (2, 2, 1),
+    ]

@@ -1194,3 +1194,108 @@ def heaps_beta_sql(docs_rel: str = "documents") -> str:
         "/ ln(CAST(n_full AS DOUBLE) / CAST(n_half AS DOUBLE)), 6) END AS beta "
         "FROM a"
     )
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8) -> DataFrame:
+    """Benchmark DECONTAMINATION — the GPT-3/PaLM-style pipeline stage: flag
+    every training document sharing any word-``n``-gram with the held-out
+    evaluation set, so eval answers cannot leak into training data. Output
+    one row per training document: ``(doc_id, n_hits, contaminated)`` with
+    ``n_hits`` = number of DISTINCT eval n-grams the doc contains.
+
+    Plan: distinct eval n-grams (the eval set is tiny relative to the
+    corpus — at 100 TB Spark broadcast-joins it automatically under the
+    10 MB default, or hint ``broadcast()`` for bigger benchmarks) joined
+    against per-doc DISTINCT training n-grams (``array_distinct`` before
+    the explode bounds the join input at one row per distinct gram), then
+    a map-side-combined count. Integer counts only — no float anywhere.
+    """
+    eval_grams = (
+        eval_docs.select(F.explode(_word_ngrams(n)).alias("gram")).distinct()
+    )
+    doc_grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(n))).alias("gram")
+    )
+    hits = (
+        doc_grams.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(n: int = 8, eval_pred: str = "doc_id % 97 = 0",
+                      docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`decontaminate` with the eval set selected by
+    ``eval_pred`` and the training set its complement."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n} + 1, 0)), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+    return (
+        f"WITH ev AS (SELECT DISTINCT unnest({grams}) AS gram FROM {docs_rel} "
+        f"WHERE {eval_pred}), "
+        f"tr AS (SELECT doc_id, unnest(list_distinct({grams})) AS gram "
+        f"FROM {docs_rel} WHERE NOT ({eval_pred})), "
+        "h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM tr JOIN ev USING (gram) GROUP BY doc_id) "
+        f"SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "coalesce(h.n_hits, 0) > 0 AS contaminated "
+        f"FROM (SELECT doc_id FROM {docs_rel} WHERE NOT ({eval_pred})) d "
+        "LEFT JOIN h ON h.doc_id = d.doc_id"
+    )
+
+
+def encode_docs(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Tokenizer APPLICATION — encode every document as (position, id)
+    pairs against a frequency-ranked vocabulary (``build_vocab``): the
+    bridge from cleaned corpus to training-ready token ids. Output one row
+    per token occurrence: ``(doc_id, pos, vocab_id)`` with 0-based ``pos``
+    and ``vocab_id = -1`` for out-of-vocabulary tokens (below the vocab's
+    min_count), mirroring the UNK id convention.
+
+    Scale: the vocab is a classic broadcast dimension (even a 1 M-term
+    vocab is a few tens of MB — hinted explicitly so the Zipf-skewed term
+    join never shuffles the exploded corpus by hot words like "the"); the
+    explode itself is narrow. Integer output only.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("pos", "term"),
+    )
+    return (
+        toks.join(F.broadcast(vocab.select("term", "vocab_id")), "term", "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce("vocab_id", F.lit(-1)).cast("long").alias("vocab_id"),
+        )
+    )
+
+
+def encode_docs_sql(min_count: int = 2, docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`encode_docs` against
+    ``build_vocab_sql(min_count)``'s vocabulary."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    return (
+        f"WITH enc_t AS (SELECT doc_id, {toks} AS toks FROM {docs_rel}), "
+        "enc_p AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, len(toks)), "
+        "i -> struct_pack(pos := i - 1, term := toks[i])), recursive := true) "
+        "FROM enc_t), "
+        f"enc_v AS ({build_vocab_sql(min_count, docs_rel)}) "
+        "SELECT enc_p.doc_id, CAST(enc_p.pos AS BIGINT) AS pos, "
+        "CAST(coalesce(enc_v.vocab_id, -1) AS BIGINT) AS vocab_id "
+        "FROM enc_p LEFT JOIN enc_v ON enc_v.term = enc_p.term"
+    )
