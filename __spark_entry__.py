@@ -973,6 +973,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["decontaminate"] = _decontaminate
+
+    # exact corpus length quantiles (round 5): type-1 discrete quantile via
+    # the distributed counting-sort rank — no single-task window
+    q["token_count_quantiles"] = lambda s, d: TS.token_count_quantiles(
+        _docs(s, d)
+    )
     q["collocations"] = lambda s, d: TS.collocations_pmi(_docs(s, d), min_count=5)
 
     # higher-order motifs (round 5): the kClist-style k=4 extension of the
@@ -1230,6 +1236,7 @@ def extra_oracle_sql() -> dict[str, str]:
     o["readability"] = TS.readability_sql()
     o["heaps_beta"] = TS.heaps_beta_sql()
     o["decontaminate"] = TS.decontaminate_sql(n=8, eval_pred="doc_id % 97 = 0")
+    o["token_count_quantiles"] = TS.token_count_quantiles_sql()
     o["collocations"] = TS.collocations_pmi_sql(min_count=5)
     from trianglecounting_spark.operators.walks import random_walks_sql
     from trianglecounting_spark.functions import sampling as SAMP

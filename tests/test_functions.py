@@ -1094,3 +1094,21 @@ def test_encode_docs_ids_positions_and_oov(spark):
         (1, 0, 0), (1, 1, 1), (1, 2, 0), (1, 3, -1),
         (2, 0, 0), (2, 1, 0), (2, 2, 1),
     ]
+
+
+def test_token_count_quantiles_exact_positions(spark):
+    """Ten docs with token counts 1..10: q=0.5 -> position ceil(5)=5 ->
+    value 5; q=0.99 -> position 10 -> 10; q=0.25 -> position 3 -> 3."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 11)], "doc_id long, text string"
+    )
+    rows = {r.q: r for r in ts.token_count_quantiles(docs, qs=(0.25, 0.5, 0.99)).collect()}
+    assert (rows[0.5].pos, rows[0.5].n_tokens) == (5, 5)
+    assert (rows[0.25].pos, rows[0.25].n_tokens) == (3, 3)
+    assert (rows[0.99].pos, rows[0.99].n_tokens) == (10, 10)
+    # partitioning determinism (ties broken by doc_id in the global sort)
+    rows2 = {
+        r.q: (r.pos, r.n_tokens)
+        for r in ts.token_count_quantiles(docs.repartition(7), qs=(0.25, 0.5, 0.99)).collect()
+    }
+    assert rows2 == {q: (r.pos, r.n_tokens) for q, r in rows.items()}

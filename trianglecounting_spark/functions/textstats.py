@@ -1299,3 +1299,57 @@ def encode_docs_sql(min_count: int = 2, docs_rel: str = "documents") -> str:
         "CAST(coalesce(enc_v.vocab_id, -1) AS BIGINT) AS vocab_id "
         "FROM enc_p LEFT JOIN enc_v ON enc_v.term = enc_p.term"
     )
+
+
+def token_count_quantiles(
+    docs: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """EXACT length-distribution quantiles of the corpus — the report a
+    length-filter threshold is chosen from. Discrete (type-1) quantile:
+    the token count at 1-based position ceil(q·n) in (n_tokens, doc_id)
+    order. Output one row per q: ``(q, pos, n_tokens)``.
+
+    Approximate-percentile sketches differ across engines, so this is the
+    exact distributed form: a ``scalable_dense_rank`` global row numbering
+    (range-partitioned counting sort — NO single-task window over the
+    corpus, the trap ``approx_percentile`` avoidance usually falls into)
+    followed by a broadcast semi-join against |qs| target positions.
+    Integers end-to-end.
+    """
+    from trianglecounting_spark.operators.normalize import scalable_dense_rank
+
+    tc = token_count(docs)
+    ranked = scalable_dense_rank(
+        tc,
+        [F.col("n_tokens").asc(), F.col("doc_id").asc()],
+        ["doc_id", "n_tokens"],
+        out_col="rn",
+    )
+    n = tc.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    targets = (
+        docs.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+        .crossJoin(n)
+        .select("q", (F.ceil(F.col("q") * F.col("__n")) - 1).cast("long").alias("rn"))
+    )
+    return (
+        targets.join(ranked, "rn")
+        .select("q", (F.col("rn") + 1).alias("pos"), "n_tokens")
+    )
+
+
+def token_count_quantiles_sql(
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    docs_rel: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`token_count_quantiles` — same type-1 discrete
+    quantile via row_number."""
+    qlist = ", ".join(f"({q})" for q in qs)
+    return (
+        f"WITH tc AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        f"'[A-Za-z0-9'']+')) AS BIGINT) AS n_tokens FROM {docs_rel}), "
+        "r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens, doc_id) AS pos, "
+        "count(*) OVER () AS n FROM tc), "
+        f"qsv(q) AS (VALUES {qlist}) "
+        "SELECT CAST(qsv.q AS DOUBLE) AS q, CAST(r.pos AS BIGINT) AS pos, r.n_tokens "
+        "FROM qsv JOIN r ON r.pos = CAST(ceil(qsv.q * r.n) AS BIGINT)"
+    )
