@@ -43,6 +43,7 @@ from trianglecounting_spark.operators.bfs import (
     double_sweep_diameter,
     double_sweep_diameter_sql,
 )
+from trianglecounting_spark.operators import linkpred as LP
 from trianglecounting_spark.operators.linkpred import (
     common_neighbor_pairs,
     common_neighbor_pairs_sql,
@@ -52,6 +53,8 @@ from trianglecounting_spark.operators.linkpred import (
 from trianglecounting_spark.operators.components import (
     connected_components,
     cc_minlabel_unrolled_sql,
+    component_size_dist,
+    component_size_dist_sql,
 )
 from trianglecounting_spark.operators.scc import (
     scc,
@@ -871,6 +874,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # edges are the local bridges; support rides the per-edge kernel
     q["edge_jaccard"] = lambda s, d: T.edge_jaccard(_edges(s, d))
 
+    # co-citation + bibliographic coupling (round 5): the two classic
+    # directed link-relatedness signals over the reciprocated web sample
+    q["cocitation"] = lambda s, d: LP.cocitation(
+        _recip_directed_edges(s, d), min_common=2
+    )
+    q["bib_coupling"] = lambda s, d: LP.bibliographic_coupling(
+        _recip_directed_edges(s, d), min_common=2
+    )
+
+    # component-size distribution (round 5): the percolation report —
+    # giant fraction + periphery shape from two counts over CC labels
+    q["component_size_dist"] = lambda s, d: component_size_dist(_edges(s, d))
+
     # Newman modularity Q of the 4-round LP labeling — integer-exact sums
     # (intra-edge count + decimal(38) degree-sum squares), one final double
     q["modularity_lp"] = lambda s, d: modularity(
@@ -1178,6 +1194,9 @@ def extra_oracle_sql() -> dict[str, str]:
     o["rich_club"] = N.rich_club_sql(_E)
     o["knn_by_degree"] = T.knn_by_degree_sql(_E)
     o["degree_gini"] = N.degree_gini_sql(_E)
+    o["cocitation"] = LP.cocitation_sql(_RECIP_E_CTES, min_common=2)
+    o["bib_coupling"] = LP.bibliographic_coupling_sql(_RECIP_E_CTES, min_common=2)
+    o["component_size_dist"] = component_size_dist_sql(_E, rounds=25)
     from trianglecounting_spark.functions import sampling as SAMP2
 
     o["domain_mixture"] = SAMP2.domain_mixture_sql(

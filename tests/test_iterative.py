@@ -821,3 +821,35 @@ def test_modularity_closed_forms(spark):
     # partitioning determinism of the decimal/int sums
     r2 = modularity(edges.repartition(7), labels.repartition(3)).collect()[0]
     assert (r2.m, r2.intra_edges, r2.q) == (6, 6, 0.5)
+
+
+def test_cocitation_and_coupling_closed_form(spark):
+    """Directed graph 1->3, 2->3, 1->4, 2->4, 5->3: pages 3,4 are cited by
+    both 1 and 2 -> coupling(1,2) = 2; citers 1,2 share targets {3,4} ->
+    cocitation(3,4) = 2; (3,4) vs 5 shares only one target -> filtered at
+    min_common=2."""
+    from trianglecounting_spark.operators.linkpred import (
+        bibliographic_coupling,
+        cocitation,
+    )
+
+    de = spark.createDataFrame(
+        [(1, 3), (2, 3), (1, 4), (2, 4), (5, 3)], "src long, dst long"
+    )
+    co = {(r.a, r.b): r.common for r in cocitation(de, min_common=2).collect()}
+    assert co == {(3, 4): 2}
+    bc = {(r.a, r.b): r.common
+          for r in bibliographic_coupling(de, min_common=2).collect()}
+    assert bc == {(1, 2): 2}
+
+
+def test_component_size_dist_closed_form(spark):
+    """Two triangles + one isolated edge: sizes {3: 2 components, 2: 1}."""
+    from trianglecounting_spark.operators.components import component_size_dist
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "u long, v long",
+    )
+    got = {r.size: r.n_components for r in component_size_dist(e).collect()}
+    assert got == {3: 2, 2: 1}

@@ -151,3 +151,30 @@ def cc_minlabel_unrolled_sql(edges_sql: str, rounds: int = 20) -> str:
         ", ".join(parts)
         + f" SELECT v, CAST(lbl AS BIGINT) AS component FROM l{rounds} ORDER BY v"
     )
+
+
+def component_size_dist(edges: DataFrame) -> DataFrame:
+    """Component-size distribution — the percolation report (giant-component
+    fraction, periphery shape): ``(size, n_components)`` per occupied size.
+    Two map-side-combined counts on top of ``connected_components``; output
+    bounded by the number of DISTINCT sizes (≤ √(2n))."""
+    cc = connected_components(edges)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+    )
+
+
+def component_size_dist_sql(edges_sql: str, rounds: int = 25) -> str:
+    """DuckDB twin of ``component_size_dist`` over the unrolled min-label
+    CC oracle."""
+    cc = cc_minlabel_unrolled_sql(edges_sql, rounds=rounds)
+    return (
+        f"WITH csd_cc AS ({cc}), "
+        "csd_s AS (SELECT component, CAST(count(*) AS BIGINT) AS size "
+        "FROM csd_cc GROUP BY component) "
+        "SELECT size, CAST(count(*) AS BIGINT) AS n_components "
+        "FROM csd_s GROUP BY size"
+    )

@@ -185,3 +185,64 @@ def common_neighbor_pairs_sql(edges_sql: str, min_common: int = 2) -> str:
         "JOIN sym nb ON nb.src = c.b AND nb.dst = na.dst "
         f"GROUP BY c.a, c.b HAVING count(*) >= {min_common}"
     )
+
+
+def cocitation(directed: DataFrame, min_common: int = 2) -> DataFrame:
+    """Co-citation strength (Small 1973, the classic link-based relatedness
+    signal): pairs of pages cited TOGETHER — ``common`` = number of shared
+    in-neighbors — for every pair with ``common ≥ min_common``. Output
+    ``(a, b, common)`` with a < b.
+
+    Scale: pair volume is Σ_w outdeg(w)² over citing pages, so mega-hub
+    CITERS (link farms, navigation boilerplate) dominate; the standard
+    production mitigation is dropping stop-pages (outdeg above a cap — the
+    same hub-cap move as ANN's bucket salt) before pairing. The aggregate
+    itself is a map-side-combined count keyed on the pair.
+    """
+    a = directed.select(F.col("src").alias("w"), F.col("dst").alias("a"))
+    b = directed.select(F.col("src").alias("w"), F.col("dst").alias("b"))
+    return (
+        a.join(b, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+
+
+def cocitation_sql(directed_ctes: str, rel: str = "de", min_common: int = 2) -> str:
+    """DuckDB twin of ``cocitation`` over a directed-edge CTE block."""
+    return (
+        f"WITH {directed_ctes} "
+        f"SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS common "
+        f"FROM {rel} x JOIN {rel} y ON y.src = x.src AND x.dst < y.dst "
+        f"GROUP BY x.dst, y.dst HAVING count(*) >= {min_common}"
+    )
+
+
+def bibliographic_coupling(directed: DataFrame, min_common: int = 2) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963) — the outlink mirror of
+    co-citation: pairs of pages CITING the same targets, ``common`` =
+    shared out-neighbors, a < b, filtered at ``min_common``. Same shape and
+    the same hub caveat as ``cocitation`` with in/out roles swapped
+    (volume Σ_w indeg(w)² over cited pages)."""
+    a = directed.select(F.col("dst").alias("w"), F.col("src").alias("a"))
+    b = directed.select(F.col("dst").alias("w"), F.col("src").alias("b"))
+    return (
+        a.join(b, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+
+
+def bibliographic_coupling_sql(directed_ctes: str, rel: str = "de",
+                               min_common: int = 2) -> str:
+    """DuckDB twin of ``bibliographic_coupling``."""
+    return (
+        f"WITH {directed_ctes} "
+        f"SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS common "
+        f"FROM {rel} x JOIN {rel} y ON y.dst = x.dst AND x.src < y.src "
+        f"GROUP BY x.src, y.src HAVING count(*) >= {min_common}"
+    )
