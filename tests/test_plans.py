@@ -113,3 +113,34 @@ def test_checkpointed_state_partitioning_survives_for_delta_joins(spark):
     )
     n_ex = count_shuffle_exchanges(joined)
     assert n_ex <= 1, _plan(joined)
+
+
+def test_encode_docs_broadcasts_the_vocab(spark):
+    """The term join in encode_docs must be a BroadcastHashJoin — a
+    shuffled join would repartition the exploded corpus by Zipf-skewed
+    words ("the" alone is ~5% of tokens), the classic hot-key pileup."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ts.encode_docs(docs, ts.build_vocab(docs, min_count=2)))
+    assert "BroadcastHashJoin" in plan, plan
+    # and the corpus side must not hash-exchange on the term
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(term", plan), plan
+
+
+def test_token_count_quantiles_has_no_corpus_window(spark):
+    """Exact quantiles must come from the counting-sort rank, never a
+    single-partition Window over the corpus (the scale trap this operator
+    exists to avoid)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ts.token_count_quantiles(docs))
+    assert "Window" not in plan, plan
+
+
+def test_readability_and_heaps_stay_jvm_side(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (ts.readability(docs), ts.heaps_beta(docs)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # readability is a pure narrow projection: no exchange at all
+    assert "Exchange" not in _plan(ts.readability(docs))
