@@ -856,6 +856,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over the degree histogram, float only in the final expression
     q["degree_gini"] = lambda s, d: N.degree_gini(_edges(s, d))
 
+    # Molloy-Reed percolation criterion (round 5): kappa = <k^2>/<k>,
+    # giant component iff kappa > 2 — decimal sums, one division
+    q["molloy_reed"] = lambda s, d: N.molloy_reed(_edges(s, d))
+
     # temperature-based domain re-weighting (round 5): the data-mixing
     # step — n^alpha draw weights, normalizer via count-histogram fold
     def _domain_mixture(s, d):
@@ -1194,6 +1198,7 @@ def extra_oracle_sql() -> dict[str, str]:
     o["rich_club"] = N.rich_club_sql(_E)
     o["knn_by_degree"] = T.knn_by_degree_sql(_E)
     o["degree_gini"] = N.degree_gini_sql(_E)
+    o["molloy_reed"] = N.molloy_reed_sql(_E)
     o["cocitation"] = LP.cocitation_sql(_RECIP_E_CTES, min_common=2)
     o["bib_coupling"] = LP.bibliographic_coupling_sql(_RECIP_E_CTES, min_common=2)
     o["component_size_dist"] = component_size_dist_sql(_E, rounds=25)

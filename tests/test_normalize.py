@@ -210,3 +210,16 @@ def test_degree_gini_closed_forms(spark):
     assert math.isclose(r2.gini, 0.3, abs_tol=1e-9)
     r3 = degree_gini(star.repartition(7)).collect()[0]
     assert r3.gini == r2.gini
+
+
+def test_molloy_reed_closed_form(spark):
+    """Star K1,4: degrees [4,1,1,1,1] -> sum 8, sum sq 20, kappa 2.5
+    (supercritical); triangle (2-regular): kappa = 12/6 = 2.0 exactly."""
+    from trianglecounting_spark.operators.normalize import molloy_reed
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "u long, v long")
+    r = molloy_reed(star).collect()[0]
+    assert (r.n, r.sum_deg, r.sum_deg2, r.kappa) == (5, 8, 20, 2.5)
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "u long, v long")
+    r2 = molloy_reed(tri).collect()[0]
+    assert (r2.sum_deg, r2.sum_deg2, r2.kappa) == (6, 12, 2.0)

@@ -494,3 +494,49 @@ def degree_gini_sql(edges_sql: str) -> str:
         "round(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sum_deg AS DOUBLE)) "
         "- (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) END AS gini FROM a"
     )
+
+
+def molloy_reed(edges: DataFrame) -> DataFrame:
+    """Molloy-Reed percolation criterion κ = ⟨k²⟩/⟨k⟩ — the robustness
+    scalar of network science: a configuration-model graph has a giant
+    component iff κ > 2, and κ drives the targeted-attack threshold
+    f_c = 1 − 1/(κ−1). One row ``(n, sum_deg, sum_deg2, kappa)``, κ at 6dp.
+
+    Exactness: Σd and Σd² are decimal(38) sums of per-vertex integers
+    (d² ≤ 2⁶⁴ needs the wide type at web scale); κ is one double division.
+    One aggregate over the degree table — no extra shuffle beyond degrees'.
+    """
+    dec = "decimal(38,0)"
+    agg = degrees(edges).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("deg").cast(dec)).alias("sum_deg"),
+        F.sum(F.col("deg").cast(dec) * F.col("deg").cast(dec)).alias("sum_deg2"),
+    )
+    return agg.select(
+        "n",
+        F.col("sum_deg").cast("long").alias("sum_deg"),
+        F.col("sum_deg2").cast("long").alias("sum_deg2"),
+        F.when(
+            F.col("sum_deg") > 0,
+            F.round(
+                F.col("sum_deg2").cast("double") / F.col("sum_deg").cast("double"), 6
+            ),
+        ).alias("kappa"),
+    )
+
+
+def molloy_reed_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``molloy_reed``."""
+    return (
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "deg AS (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x), "
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "sum(CAST(deg AS HUGEINT)) AS sum_deg, "
+        "sum(CAST(deg AS HUGEINT) * CAST(deg AS HUGEINT)) AS sum_deg2 FROM deg) "
+        "SELECT n, CAST(sum_deg AS BIGINT) AS sum_deg, "
+        "CAST(sum_deg2 AS BIGINT) AS sum_deg2, "
+        "CASE WHEN sum_deg > 0 THEN "
+        "round(CAST(sum_deg2 AS DOUBLE) / CAST(sum_deg AS DOUBLE), 6) END AS kappa "
+        "FROM a"
+    )
