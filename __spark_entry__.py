@@ -999,6 +999,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_count_quantiles"] = lambda s, d: TS.token_count_quantiles(
         _docs(s, d)
     )
+
+    # end-to-end cleaning FUNNEL (round 5): exact dedup -> near-dup ->
+    # Gopher quality -> decontamination -> token budget, one composed row
+    def _pipeline_funnel(s, d):
+        from trianglecounting_spark.functions.pipeline import pipeline_funnel
+
+        return pipeline_funnel(_docs(s, d))
+
+    q["pipeline_funnel"] = _pipeline_funnel
     q["collocations"] = lambda s, d: TS.collocations_pmi(_docs(s, d), min_count=5)
 
     # higher-order motifs (round 5): the kClist-style k=4 extension of the
@@ -1261,6 +1270,9 @@ def extra_oracle_sql() -> dict[str, str]:
     o["heaps_beta"] = TS.heaps_beta_sql()
     o["decontaminate"] = TS.decontaminate_sql(n=8, eval_pred="doc_id % 97 = 0")
     o["token_count_quantiles"] = TS.token_count_quantiles_sql()
+    from trianglecounting_spark.functions.pipeline import pipeline_funnel_sql
+
+    o["pipeline_funnel"] = pipeline_funnel_sql()
     o["collocations"] = TS.collocations_pmi_sql(min_count=5)
     from trianglecounting_spark.operators.walks import random_walks_sql
     from trianglecounting_spark.functions import sampling as SAMP

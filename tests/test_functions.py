@@ -1112,3 +1112,38 @@ def test_token_count_quantiles_exact_positions(spark):
         for r in ts.token_count_quantiles(docs.repartition(7), qs=(0.25, 0.5, 0.99)).collect()
     }
     assert rows2 == {q: (r.pos, r.n_tokens) for q, r in rows.items()}
+
+
+def test_pipeline_funnel_stage_arithmetic(spark):
+    """Hand corpus: doc 2 is a byte-dup of doc 1 (falls at exact stage);
+    doc 3 is a near-dup of doc 1 (same shingles, one word changed at the
+    end — falls at near stage); doc 4 is unique but fails Gopher (too
+    short); doc 0 is the eval doc (0 % 97 == 0, dropped at clean stage);
+    doc 5 is unique, long, quality text sharing no 4-gram with doc 0.
+    Expect n_docs=6, n_exact=5, and doc 5 + doc 0's fate per stage."""
+    from trianglecounting_spark.functions.pipeline import pipeline_funnel
+
+    sent = "the quick brown foxes jumped over many lazy sleeping dogs "
+    body = (sent * 8).strip()  # 80 words, mean len ~4.6, stopwords present
+    docs = spark.createDataFrame(
+        [
+            (0, "held out benchmark answer " + body),
+            (1, body + " original tail marker one"),
+            (2, body + " original tail marker one"),
+            (3, body + " original tail marker two"),
+            (4, "tiny"),
+            (5, body + " completely fresh closing words"),
+        ],
+        "doc_id long, text string",
+    )
+    r = pipeline_funnel(docs, k=5, n_gram=4, eval_mod=97).collect()[0]
+    assert r.n_docs == 6
+    assert r.n_exact == 5  # doc 2 collapsed into doc 1
+    # near stage: doc 3 clusters with doc 1 (min-id keeper wins)
+    assert r.n_near == 4
+    # quality: doc 4 fails the >=50-word rule
+    assert r.n_quality == 3
+    # clean: doc 0 is the eval split itself -> dropped; docs 1,5 share the
+    # 80-word body with doc 0?? no — doc 0 contains body too, so 1,3,5 all
+    # share 4-grams with it and are contaminated; survivors: none
+    assert r.n_clean == 0 and r.tokens_clean == 0
