@@ -276,6 +276,13 @@ def main() -> None:
             lambda: cl.semantic_dedup(emb, k=8, iters=3, threshold=0.2)
             .where(F.col("keep")).count(),
         )
+        # flagship composite: the full cleaning funnel in one query
+        from trianglecounting_spark.functions.pipeline import pipeline_funnel
+
+        timed_rep(
+            "pipeline_funnel",
+            lambda: pipeline_funnel(docs).collect(),
+        )
 
     # iterative heavyweights — their own repeat count (≥2 keeps the spread)
     for _ in range(heavy_repeats):
