@@ -203,3 +203,31 @@ def test_host_weighted_edges_merges_directions_and_drops_self(spark):
     )
     got = {(r.u, r.v): r.w for r in host_weighted_edges(pages).collect()}
     assert got == {("a.example", "b.example"): 3, ("a.example", "c.example"): 1}
+
+
+def test_synth_corpus_planted_structure_and_determinism(spark):
+    """The scale-bench corpus generator must reproduce its planted dups
+    exactly (bench_corpus asserts on them) and be partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from trianglecounting_spark.sources.generators import synth_corpus
+
+    d = synth_corpus(spark, 400).cache()
+    texts = {r.doc_id: r.text for r in d.collect()}
+    assert len(texts) == 400
+    # exact dup: id%100==7 is byte-identical to id-7
+    assert texts[7] == texts[0] and texts[107] == texts[100]
+    # near dup: id%100==8 is id-8 plus one unique trailing token
+    assert texts[8] == texts[0] + " unique8"
+    assert texts[108] == texts[100] + " unique108"
+    # everything else distinct from its block seed
+    assert texts[1] != texts[0] and texts[9] != texts[0]
+    # lengths in the documented 30..200 word band (+1 for the near-dup tail)
+    for i in (0, 1, 50, 399):
+        assert 30 <= len(texts[i].split()) <= 201
+    # partition-invariant content (no RNG, pure hash streams)
+    agg = lambda df: df.agg(
+        F.sum(F.crc32(F.concat_ws("|", F.col("doc_id").cast("string"), "text")))
+    ).collect()[0][0]
+    assert agg(d.repartition(7)) == agg(d.repartition(2))
+    d.unpersist()

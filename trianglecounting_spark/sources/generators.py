@@ -188,3 +188,72 @@ SUPPLIER_EDGES_SQL = (
     "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
     "AND a.l_suppkey < b.l_suppkey"
 )
+
+
+def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic web-text corpus for SCALE benching of the
+    text/dedup lanes — ``(doc_id, text)`` with web-corpus structure planted
+    by construction:
+
+    * Zipf-skewed vocabulary: per-position word index = quadratically-skewed
+      hash (idx = (h%1000)²·V // 10⁶), so low ids ("the", "of", …) dominate
+      like natural text; the 10 real stop words keep the Gopher stop-word
+      rule meaningful. Non-stop vocabulary entries are CHARACTER-DIVERSE
+      hash-derived pseudo-words (3–7 lowercase letters) — a shared literal
+      prefix like ``word{k}`` would give any two docs a near-identical
+      character-5-shingle set and make MinHash/LSH degenerate into an
+      all-pairs clique (observed: 18 M candidate pairs from 200 k docs).
+    * Planted EXACT duplicates: every doc with id % 100 == 7 reuses the seed
+      of id−7 — byte-identical to its original.
+    * Planted NEAR duplicates: id % 100 == 8 reuses seed id−8 plus one
+      unique trailing token — MinHash/containment fodder.
+    * Lengths 30–199 words, hash-drawn.
+
+    Entirely narrow Column expressions over ``spark.range`` (xxhash64
+    streams, no Python, no RNG) — reproducible across partitionings and
+    generable at any size without driver memory.
+    """
+    stops = ["the", "of", "and", "to", "in", "is", "was", "for", "on", "that"]
+    vocab_n = 20_000
+
+    def _pseudo_word(k: int) -> str:
+        # Knuth multiplicative hash -> 3-7 lowercase letters; deterministic,
+        # no shared prefix/suffix across the vocabulary.
+        h = (k * 2654435761 + 0x9E3779B9) & 0xFFFFFFFFFFFF
+        n = 3 + (h % 5)
+        out = []
+        for _ in range(n):
+            h, c = divmod(h, 26)
+            out.append(chr(97 + c))
+            h = (h * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFF
+        return "".join(out)
+
+    vocab = F.array(
+        *[F.lit(w) for w in stops],
+        *[F.lit(_pseudo_word(k)) for k in range(vocab_n - len(stops))],
+    )
+    d = spark.range(n_docs)
+    doc_id = F.col("id")
+    # duplicate planting: content derives from `src_seed`, not doc_id
+    src_seed = (
+        F.when(doc_id % 100 == 7, doc_id - 7)
+        .when(doc_id % 100 == 8, doc_id - 8)
+        .otherwise(doc_id)
+    )
+    length = (F.pmod(F.xxhash64(F.lit(seed), src_seed), F.lit(170)) + 30).cast("int")
+    # per-position word index: r = h%1000 uniform -> idx = 2000*(r/1000)^2,
+    # density ~ 1/sqrt(idx) — Zipf-flavored skew toward the low ids
+    words = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.element_at(vocab, (
+            F.pmod(F.xxhash64(F.lit(seed + 1), src_seed, i), F.lit(1000))
+            * F.pmod(F.xxhash64(F.lit(seed + 1), src_seed, i), F.lit(1000))
+            * F.lit(vocab_n) / F.lit(1_000_000)
+        ).cast("int") + 1),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(
+        doc_id % 100 == 8,
+        F.concat(text, F.lit(" unique"), doc_id.cast("string")),
+    ).otherwise(text)
+    return d.select(doc_id.alias("doc_id"), text.alias("text"))
