@@ -42,6 +42,9 @@ from trianglecounting_spark.operators.bfs import (
     bfs_unrolled_sql,
     double_sweep_diameter,
     double_sweep_diameter_sql,
+    hash_weights,
+    sssp_weighted,
+    sssp_weighted_unrolled_sql,
 )
 from trianglecounting_spark.operators import linkpred as LP
 from trianglecounting_spark.operators.linkpred import (
@@ -91,6 +94,8 @@ from trianglecounting_spark.operators.hyperball import (
     hyperball_unrolled_sql,
 )
 from trianglecounting_spark.operators.motifs import (
+    directed_triangle_census,
+    directed_triangle_census_sql,
     four_clique_count,
     four_clique_sql,
     square_count,
@@ -891,6 +896,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # giant fraction + periphery shape from two counts over CC labels
     q["component_size_dist"] = lambda s, d: component_size_dist(_edges(s, d))
 
+    # directed triangle census (round 5): cyclic vs transitive closed
+    # triads over the reciprocated web sample — rides the degree-ordered
+    # undirected enumeration once, classifies orientations in closed form
+    q["triad_census"] = lambda s, d: directed_triangle_census(
+        _recip_directed_edges(s, d)
+    )
+
+    # weighted SSSP (round 5): frontier-parallel Bellman-Ford on
+    # deterministic hash weights 1..9 from the minimum vertex id
+    q["sssp_weighted"] = lambda s, d: sssp_weighted(
+        hash_weights(_edges(s, d))
+    )
+
     # Newman modularity Q of the 4-round LP labeling — integer-exact sums
     # (intra-edge count + decimal(38) degree-sum squares), one final double
     q["modularity_lp"] = lambda s, d: modularity(
@@ -1211,6 +1229,8 @@ def extra_oracle_sql() -> dict[str, str]:
     o["cocitation"] = LP.cocitation_sql(_RECIP_E_CTES, min_common=2)
     o["bib_coupling"] = LP.bibliographic_coupling_sql(_RECIP_E_CTES, min_common=2)
     o["component_size_dist"] = component_size_dist_sql(_E, rounds=25)
+    o["triad_census"] = directed_triangle_census_sql(_RECIP_E_CTES)
+    o["sssp_weighted"] = sssp_weighted_unrolled_sql(_E, rounds=25)
     from trianglecounting_spark.functions import sampling as SAMP2
 
     o["domain_mixture"] = SAMP2.domain_mixture_sql(

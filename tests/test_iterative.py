@@ -853,3 +853,46 @@ def test_component_size_dist_closed_form(spark):
     )
     got = {r.size: r.n_components for r in component_size_dist(e).collect()}
     assert got == {3: 2, 2: 1}
+
+
+def test_sssp_weighted_hand_case_and_fixpoint(spark):
+    from trianglecounting_spark.operators.bfs import sssp_weighted
+
+    # path 0-1-2 (w 1+1) beats direct 0-2 (w 5); vertex 3 reachable only
+    # through 2; vertex 9 isolated from the source component -> absent
+    ew = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 5), (2, 3, 2), (8, 9, 1)],
+        "u long, v long, w long",
+    )
+    got = {r.v: r.dist for r in sssp_weighted(ew, source=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 4}
+
+
+def test_sssp_weighted_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from trianglecounting_spark.operators.bfs import (
+        hash_weights,
+        sssp_weighted,
+        sssp_weighted_unrolled_sql,
+    )
+
+    arcs = [
+        (a, b)
+        for a in range(60)
+        for b in range(60)
+        if a < b and ((a * 2654435761 + b * 40503) % 211) < 7
+    ]
+    con = duckdb.connect()
+    edges_sql = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in arcs)
+        + ") t(u, v)"
+    )
+    oracle = dict(
+        con.execute(sssp_weighted_unrolled_sql(edges_sql, rounds=30)).fetchall()
+    )
+    con.close()
+    e = spark.createDataFrame(arcs, "u long, v long")
+    got = {r.v: r.dist for r in sssp_weighted(hash_weights(e)).collect()}
+    assert got == oracle

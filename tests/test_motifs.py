@@ -106,3 +106,46 @@ def test_random_walks_shape_and_validity(spark):
     again = sorted((r.walk_id, r.step, r.node)
                    for r in random_walks(e, walk_len=5).collect())
     assert again == sorted((r.walk_id, r.step, r.node) for r in rows)
+
+
+def test_directed_triangle_census_hand_cases(spark):
+    from trianglecounting_spark.operators.motifs import directed_triangle_census
+
+    # one cyclic + one transitive + one fully-reciprocated triangle
+    arcs = (
+        [(0, 1), (1, 2), (2, 0)]            # cyclic
+        + [(3, 4), (4, 5), (3, 5)]          # transitive
+        + [(6, 7), (7, 6), (7, 8), (8, 7), (6, 8), (8, 6)]  # all 6 arcs
+    )
+    de = spark.createDataFrame(arcs, "src long, dst long")
+    row = directed_triangle_census(de).collect()[0]
+    # reciprocated triangle contributes 2 cyclic + 6 transitive assignments
+    assert row.cyclic_triangles == 1 + 2
+    assert row.transitive_triangles == 1 + 6
+
+
+def test_directed_triangle_census_matches_duckdb(spark):
+    import duckdb
+
+    from trianglecounting_spark.operators.motifs import (
+        directed_triangle_census,
+        directed_triangle_census_sql,
+    )
+
+    arcs = [
+        (a, b)
+        for a in range(40)
+        for b in range(40)
+        if a != b and ((a * 2654435761 + b * 40503) % 97) < 9
+    ]
+    con = duckdb.connect()
+    ctes = (
+        "de AS MATERIALIZED (SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in arcs)
+        + ") t(src, dst))"
+    )
+    oc = con.execute(directed_triangle_census_sql(ctes)).fetchall()[0]
+    con.close()
+    de = spark.createDataFrame(arcs, "src long, dst long")
+    row = directed_triangle_census(de).collect()[0]
+    assert (row.cyclic_triangles, row.transitive_triangles) == tuple(oc)
