@@ -25,6 +25,8 @@ from trianglecounting_spark.sources import generators as g
 from trianglecounting_spark.operators import normalize as N
 from trianglecounting_spark.operators import triangles as T
 from trianglecounting_spark.operators.pagerank import (
+    eigenvector_centrality,
+    eigenvector_centrality_unrolled_sql,
     pagerank,
     pagerank_directed,
     pagerank_directed_unrolled_sql,
@@ -60,6 +62,8 @@ from trianglecounting_spark.operators.components import (
     component_size_dist_sql,
 )
 from trianglecounting_spark.operators.scc import (
+    condensation_levels,
+    condensation_levels_sql,
     scc,
     scc_reach_sql,
     bowtie_classes,
@@ -903,6 +907,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _recip_directed_edges(s, d)
     )
 
+    # eigenvector centrality (round 5): integer-exact walk-count power
+    # iteration (A^k·1 in decimal(38,0)), one float division at the end
+    q["eigencentrality"] = lambda s, d: eigenvector_centrality(
+        _edges(s, d), iterations=4
+    )
+
+    # condensation DAG levels (round 5): SCC composition showcase —
+    # contract SCCs, longest-path layer profile of the acyclic skeleton
+    q["condensation_levels"] = lambda s, d: condensation_levels(
+        _recip_directed_edges(s, d)
+    )
+
+    # CCNet-style LM quality buckets (round 5): unigram neg-log-lik per
+    # doc + exact head/middle/tail terciles via the counting-sort rank
+    q["lm_score_buckets"] = lambda s, d: TS.unigram_lm_score(_docs(s, d))
+
     # weighted SSSP (round 5): frontier-parallel Bellman-Ford on
     # deterministic hash weights 1..9 from the minimum vertex id
     q["sssp_weighted"] = lambda s, d: sssp_weighted(
@@ -1231,6 +1251,9 @@ def extra_oracle_sql() -> dict[str, str]:
     o["component_size_dist"] = component_size_dist_sql(_E, rounds=25)
     o["triad_census"] = directed_triangle_census_sql(_RECIP_E_CTES)
     o["sssp_weighted"] = sssp_weighted_unrolled_sql(_E, rounds=25)
+    o["eigencentrality"] = eigenvector_centrality_unrolled_sql(_E, iterations=4)
+    o["condensation_levels"] = condensation_levels_sql(_RECIP_E_CTES)
+    o["lm_score_buckets"] = TS.unigram_lm_score_sql()
     from trianglecounting_spark.functions import sampling as SAMP2
 
     o["domain_mixture"] = SAMP2.domain_mixture_sql(

@@ -1147,3 +1147,58 @@ def test_pipeline_funnel_stage_arithmetic(spark):
     # 80-word body with doc 0?? no — doc 0 contains body too, so 1,3,5 all
     # share 4-grams with it and are contaminated; survivors: none
     assert r.n_clean == 0 and r.tokens_clean == 0
+
+
+def test_unigram_lm_score_buckets_and_empty_doc(spark):
+    from trianglecounting_spark.functions.textstats import unigram_lm_score
+
+    # doc 0: all common tokens (low nll = head); doc 2: rare tokens (tail);
+    # doc 3: empty -> nll 0.0 and sorts to the head tercile
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the the"),
+            (1, "the the rare1 rare2"),
+            (2, "zq1 zq2 zq3 zq4"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.nll, r.bucket) for r in unigram_lm_score(docs).collect()}
+    assert rows[3] == (0.0, "head")
+    assert rows[0][0] < rows[1][0] < rows[2][0]
+    # n=4 -> head = pos 1..2, middle = pos 3, tail = pos 4
+    assert rows[0][1] == "head" and rows[1][1] == "middle" and rows[2][1] == "tail"
+
+
+def test_unigram_lm_score_matches_duckdb(spark):
+    import duckdb
+
+    from trianglecounting_spark.functions.textstats import (
+        unigram_lm_score,
+        unigram_lm_score_sql,
+    )
+
+    docs = [
+        (
+            i,
+            " ".join(
+                ["the quick brown fox", "lorem ipsum dolor sit amet"][i % 2]
+                for _ in range(i % 5 + 1)
+            )
+            + f" unique{i}",
+        )
+        for i in range(30)
+    ] + [(100, "")]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {t!r})" for i, t in docs)
+        + ") t(doc_id, text)"
+    )
+    oracle = {
+        r[0]: (r[1], r[2]) for r in con.execute(unigram_lm_score_sql()).fetchall()
+    }
+    con.close()
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.nll, r.bucket) for r in unigram_lm_score(d).collect()}
+    assert got == oracle

@@ -896,3 +896,85 @@ def test_sssp_weighted_matches_duckdb_oracle(spark):
     e = spark.createDataFrame(arcs, "u long, v long")
     got = {r.v: r.dist for r in sssp_weighted(hash_weights(e)).collect()}
     assert got == oracle
+
+
+def test_eigenvector_centrality_star_hand_case(spark):
+    from trianglecounting_spark.operators.pagerank import eigenvector_centrality
+
+    # star S4: after 3 iterations center has 16 walks, leaves 4 each
+    e = spark.createDataFrame([(0, i) for i in range(1, 5)], "u long, v long")
+    got = {r.v: r.score for r in eigenvector_centrality(e, iterations=3).collect()}
+    assert got == {0: 1.0, 1: 0.25, 2: 0.25, 3: 0.25, 4: 0.25}
+
+
+def test_eigenvector_centrality_matches_duckdb(spark):
+    import duckdb
+
+    from trianglecounting_spark.operators.pagerank import (
+        eigenvector_centrality,
+        eigenvector_centrality_unrolled_sql,
+    )
+
+    arcs = [
+        (a, b)
+        for a in range(50)
+        for b in range(50)
+        if a < b and ((a * 2654435761 + b * 40503) % 97) < 9
+    ]
+    edges_sql = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in arcs)
+        + ") t(u, v)"
+    )
+    con = duckdb.connect()
+    oracle = dict(
+        con.execute(eigenvector_centrality_unrolled_sql(edges_sql)).fetchall()
+    )
+    con.close()
+    e = spark.createDataFrame(arcs, "u long, v long")
+    got = {r.v: r.score for r in eigenvector_centrality(e).collect()}
+    assert got == oracle
+
+
+def test_condensation_levels_chain_hand_case(spark):
+    from trianglecounting_spark.operators.scc import condensation_levels
+
+    # SCC {0,1} -> SCC {2,3} -> singleton 4; plus isolated SCC {5,6}
+    arcs = [(0, 1), (1, 0), (2, 3), (3, 2), (1, 2), (3, 4), (5, 6), (6, 5)]
+    de = spark.createDataFrame(arcs, "src long, dst long")
+    got = {
+        r.level: (r.n_components, r.n_vertices)
+        for r in condensation_levels(de).collect()
+    }
+    # level 0: SCC{0,1} + SCC{5,6}; level 1: SCC{2,3}; level 2: {4}
+    assert got == {0: (2, 4), 1: (1, 2), 2: (1, 1)}
+
+
+def test_condensation_levels_matches_duckdb(spark):
+    import duckdb
+
+    from trianglecounting_spark.operators.scc import (
+        condensation_levels,
+        condensation_levels_sql,
+    )
+
+    arcs = [
+        (a, b)
+        for a in range(40)
+        for b in range(40)
+        if a != b and ((a * 2654435761 + b * 40503) % 101) < 7
+    ]
+    con = duckdb.connect()
+    ctes = (
+        "de AS MATERIALIZED (SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in arcs)
+        + ") t(src, dst))"
+    )
+    oracle = con.execute(condensation_levels_sql(ctes)).fetchall()
+    con.close()
+    de = spark.createDataFrame(arcs, "src long, dst long")
+    got = [
+        (r.level, r.n_components, r.n_vertices)
+        for r in condensation_levels(de).collect()
+    ]
+    assert got == oracle

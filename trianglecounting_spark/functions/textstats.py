@@ -1353,3 +1353,100 @@ def token_count_quantiles_sql(
         "SELECT CAST(qsv.q AS DOUBLE) AS q, CAST(r.pos AS BIGINT) AS pos, r.n_tokens "
         "FROM qsv JOIN r ON r.pos = CAST(ceil(qsv.q * r.n) AS BIGINT)"
     )
+
+
+def unigram_lm_score(docs: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality scoring + head/middle/tail buckets
+    (Wenzek et al., LREC 2020 — the corpus-curation step that orders a crawl
+    by LM fit and keeps the "head"). The container has no KenLM, so the LM
+    is the corpus's own unigram model — the same scoring contract with an
+    oracle-expressible estimator:
+
+        p(w)    = cnt(w) / total_tokens            (corpus-wide, exact ints)
+        nll(d)  = Σ_t tf_t·(ln total − ln cnt_t) / Σ_t tf_t   (mean neg-log-lik)
+        bucket  = head | middle | tail by EXACT terciles of (nll, doc_id)
+
+    Lower nll = more typical text. Scale shape: one token-explode
+    groupBy(doc_id, term) (the tf table), a term-keyed join against the
+    |vocab|-row count table (AQE broadcasts it when small), the corpus
+    total riding as a broadcast 1-row aggregate, then the tercile ranking
+    via `scalable_dense_rank` — the range-partitioned counting sort, NO
+    single-task window over the corpus. Ranking uses the ROUNDED 6dp nll
+    (ties broken by doc_id) so both engines rank identical keys.
+
+    Output: ``(doc_id, nll: double 6dp, bucket: string)`` for every doc;
+    empty docs score 0.0 (they sort to the head and a length filter owns
+    them, not the LM).
+    """
+    from trianglecounting_spark.operators.normalize import scalable_dense_rank
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    vocab_cnt = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
+    total = vocab_cnt.agg(F.sum("cnt").cast("double").alias("__total"))
+    doc_nll = (
+        tf.join(vocab_cnt, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * (F.log(F.col("__total")) - F.log(F.col("cnt").cast("double")))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("nll")
+        )
+    )
+    scored = docs.select("doc_id").join(doc_nll, "doc_id", "left").select(
+        "doc_id", F.coalesce("nll", F.lit(0.0)).alias("nll")
+    )
+    ranked = scalable_dense_rank(
+        scored, [F.col("nll").asc(), F.col("doc_id").asc()], ["doc_id", "nll"],
+        out_col="__rn",
+    )
+    n = scored.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    pos = F.col("__rn") + 1
+    bucket = (
+        F.when(pos <= F.ceil(F.col("__n") / 3), F.lit("head"))
+        .when(pos <= F.ceil(F.lit(2) * F.col("__n") / 3), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id", "nll", bucket.alias("bucket")
+    )
+
+
+def unigram_lm_score_sql(docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_lm_score` — identical estimator, float
+    expression text, rounding, and tercile rule."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    return (
+        f"WITH tf AS MATERIALIZED (SELECT doc_id, term, "
+        f"CAST(count(*) AS BIGINT) AS tf FROM "
+        f"(SELECT doc_id, unnest({toks}) AS term FROM {docs_rel}) "
+        f"GROUP BY doc_id, term), "
+        "vc AS MATERIALIZED (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt "
+        "FROM tf GROUP BY term), "
+        "tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vc), "
+        "dn AS (SELECT doc_id, round(sum(tf * (ln((SELECT total FROM tot)) "
+        "- ln(CAST(cnt AS DOUBLE)))) / sum(tf), 6) AS nll "
+        "FROM tf JOIN vc USING (term) GROUP BY doc_id), "
+        f"sc AS (SELECT d.doc_id, coalesce(dn.nll, 0.0) AS nll "
+        f"FROM {docs_rel} d LEFT JOIN dn ON dn.doc_id = d.doc_id), "
+        "rk AS (SELECT doc_id, nll, "
+        "row_number() OVER (ORDER BY nll, doc_id) AS pos, "
+        "count(*) OVER () AS n FROM sc) "
+        "SELECT doc_id, nll, CASE WHEN pos <= ceil(n / 3.0) THEN 'head' "
+        "WHEN pos <= ceil(2 * n / 3.0) THEN 'middle' ELSE 'tail' END AS bucket "
+        "FROM rk ORDER BY doc_id"
+    )

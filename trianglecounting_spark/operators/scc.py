@@ -563,3 +563,132 @@ def directed_graph_stats_sql(edge_ctes: str) -> str:
         "CAST(od.max_out AS BIGINT) AS max_out_deg "
         "FROM b, rc, nv, od, idg"
     )
+
+
+def condensation_levels(
+    directed_edges: DataFrame, max_rounds: int = 60
+) -> DataFrame:
+    """Topological level structure of the SCC condensation DAG.
+
+    Composes `scc` into the canonical "how deep is the web's DAG skeleton"
+    report: contract every SCC to one node, keep the distinct cross-SCC
+    edges (the condensation — acyclic by construction), and assign every
+    component its LONGEST-PATH depth from the source layer:
+
+        level(c) = 0                      if c has no in-edges
+        level(c) = 1 + max level(pred)    otherwise
+
+    computed as the standard max-plus relaxation fixpoint: per round one
+    join + max-aggregate over the condensation edge table, state merged
+    with `greatest`. A DAG reaches the fixpoint in depth(DAG) rounds and
+    each round touches only condensation-sized tables — on a bowtie-shaped
+    web graph that is FAR smaller than the page graph (the giant SCC is one
+    node), so the whole phase costs a few tiny shuffles after the `scc`
+    labeling itself.
+
+    Output: one row per occupied level — ``(level: long,
+    n_components: long, n_vertices: long)`` — the DAG's layer profile
+    (level 0 = source components; max level = the condensation's depth).
+
+    Raises RuntimeError past ``max_rounds`` (a DAG deeper than the cap —
+    raise it for adversarially-chained graphs; the relaxation is exact for
+    any cap ≥ depth).
+    """
+    spark = directed_edges.sparkSession
+    labels = scc(directed_edges)  # (v, label), materialized lineage-free
+    lab_src = labels.select(F.col("v").alias("src"), F.col("label").alias("a"))
+    lab_dst = labels.select(F.col("v").alias("dst"), F.col("label").alias("b"))
+    cond = (
+        directed_edges.join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    cond, cond_ids = tracked_checkpoint(cond)
+    n_part = iteration_partitions(spark, max(cond.count(), 1))
+    lev = labels.select(F.col("label").alias("c")).distinct().select(
+        "c", F.lit(0).cast("long").alias("level")
+    )
+    lev, prev_ids = tracked_checkpoint(lev)
+    with scoped_shuffle_partitions(spark, n_part):
+        for r in range(max_rounds + 1):
+            cand = (
+                cond.join(lev.withColumnRenamed("c", "a"), "a")
+                .groupBy(F.col("b").alias("c"))
+                .agg((F.max("level") + F.lit(1)).alias("cl"))
+            )
+            merged = (
+                lev.join(cand, "c", "left")
+                .select(
+                    "c",
+                    F.greatest(F.col("level"), F.coalesce("cl", F.lit(0))).alias(
+                        "new_level"
+                    ),
+                    "level",
+                )
+            )
+            changed = (
+                merged.where(F.col("new_level") > F.col("level")).limit(1).count()
+            )
+            if changed == 0:
+                break
+            if r == max_rounds:
+                raise RuntimeError(
+                    f"condensation deeper than max_rounds={max_rounds}"
+                )
+            lev, new_ids = tracked_checkpoint(
+                merged.select("c", F.col("new_level").alias("level"))
+            )
+            release_ids(spark, prev_ids)
+            prev_ids = new_ids
+    sizes = labels.groupBy(F.col("label").alias("c")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    out = (
+        lev.join(sizes, "c")
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("nv").cast("long").alias("n_vertices"),
+        )
+        .orderBy("level")
+    )
+    release_ids(spark, cond_ids)
+    return out
+
+
+def condensation_levels_sql(edge_ctes: str) -> str:
+    """DuckDB oracle for ``condensation_levels`` — definitional: SCC labels
+    by mutual-reachability closure (same CTEs as `scc_reach_sql`), the
+    distinct condensation edges, then level(c) = max over ALL path lengths
+    ending at c in the condensation, enumerated by a deduplicating
+    recursive CTE (terminates because the condensation is acyclic).
+
+    ``edge_ctes``: flat CTE definitions whose final CTE ``de`` yields
+    directed ``(src, dst)`` rows (spliced, same contract as
+    `scc_reach_sql`)."""
+    return (
+        f"WITH RECURSIVE {edge_ctes}, "
+        "verts AS MATERIALIZED (SELECT DISTINCT x AS v FROM "
+        "(SELECT src AS x FROM de UNION ALL SELECT dst FROM de)), "
+        "r(a, b) AS (SELECT DISTINCT src, dst FROM de WHERE src <> dst "
+        "UNION SELECT r.a, de.dst FROM r JOIN de ON de.src = r.b "
+        "WHERE de.dst <> r.a), "
+        "mutual AS MATERIALIZED (SELECT r1.a AS v, min(r1.b) AS m "
+        "FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a), "
+        "lab AS MATERIALIZED (SELECT vv.v, "
+        "CAST(least(vv.v, coalesce(mu.m, vv.v)) AS BIGINT) AS label "
+        "FROM verts vv LEFT JOIN mutual mu ON mu.v = vv.v), "
+        "cond AS MATERIALIZED (SELECT DISTINCT ls.label AS a, ld.label AS b "
+        "FROM de JOIN lab ls ON ls.v = de.src JOIN lab ld ON ld.v = de.dst "
+        "WHERE ls.label <> ld.label), "
+        "lp(c, l) AS (SELECT label, 0 FROM lab GROUP BY label "
+        "UNION SELECT cond.b, p.l + 1 FROM lp p JOIN cond ON cond.a = p.c), "
+        "lev AS MATERIALIZED (SELECT c, max(l) AS level FROM lp GROUP BY c), "
+        "sizes AS MATERIALIZED (SELECT label AS c, count(*) AS nv "
+        "FROM lab GROUP BY label) "
+        "SELECT CAST(level AS BIGINT) AS level, count(*) AS n_components, "
+        "CAST(sum(nv) AS BIGINT) AS n_vertices "
+        "FROM lev JOIN sizes ON sizes.c = lev.c GROUP BY level ORDER BY level"
+    )
