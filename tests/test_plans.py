@@ -144,3 +144,26 @@ def test_readability_and_heaps_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     # readability is a pure narrow projection: no exchange at all
     assert "Exchange" not in _plan(ts.readability(docs))
+
+
+def test_unigram_lm_score_has_no_corpus_window_and_no_python(spark):
+    """The tercile bucketing must ride the counting-sort rank (no
+    single-partition Window over the corpus) and the whole scoring path
+    must stay JVM-side."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ts.unigram_lm_score(docs))
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # the vocab-count join must broadcast — never hash-exchange the
+    # per-doc term table by the Zipf-skewed word key (audited on the
+    # scoring stage: the rank step materializes lineage above it)
+    import re
+
+    score_plan = _plan(ts.unigram_doc_nll(docs))
+    assert re.search(r"BroadcastHashJoin \[term", score_plan), score_plan
+    # (the one legitimate term exchange is the vocab-count aggregate — its
+    # map-side partial combine shrinks the shuffle to ~|vocab| rows; the
+    # JOIN must never shuffle the tf table by term)
+    assert not re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[term", score_plan
+    ), score_plan

@@ -1355,31 +1355,16 @@ def token_count_quantiles_sql(
     )
 
 
-def unigram_lm_score(docs: DataFrame) -> DataFrame:
-    """CCNet-style language-model quality scoring + head/middle/tail buckets
-    (Wenzek et al., LREC 2020 — the corpus-curation step that orders a crawl
-    by LM fit and keeps the "head"). The container has no KenLM, so the LM
-    is the corpus's own unigram model — the same scoring contract with an
-    oracle-expressible estimator:
+def unigram_doc_nll(docs: DataFrame) -> DataFrame:
+    """Per-doc mean unigram negative log-likelihood — the scoring stage of
+    :func:`unigram_lm_score`, exposed separately so its physical plan (the
+    broadcast vocab join) is directly auditable:
 
         p(w)    = cnt(w) / total_tokens            (corpus-wide, exact ints)
-        nll(d)  = Σ_t tf_t·(ln total − ln cnt_t) / Σ_t tf_t   (mean neg-log-lik)
-        bucket  = head | middle | tail by EXACT terciles of (nll, doc_id)
+        nll(d)  = Σ_t tf_t·(ln total − ln cnt_t) / Σ_t tf_t
 
-    Lower nll = more typical text. Scale shape: one token-explode
-    groupBy(doc_id, term) (the tf table), a term-keyed join against the
-    |vocab|-row count table (AQE broadcasts it when small), the corpus
-    total riding as a broadcast 1-row aggregate, then the tercile ranking
-    via `scalable_dense_rank` — the range-partitioned counting sort, NO
-    single-task window over the corpus. Ranking uses the ROUNDED 6dp nll
-    (ties broken by doc_id) so both engines rank identical keys.
-
-    Output: ``(doc_id, nll: double 6dp, bucket: string)`` for every doc;
-    empty docs score 0.0 (they sort to the head and a length filter owns
-    them, not the LM).
+    Output ``(doc_id, nll: double 6dp)`` for every doc; empty docs 0.0.
     """
-    from trianglecounting_spark.operators.normalize import scalable_dense_rank
-
     tf = (
         docs.select(
             "doc_id",
@@ -1392,8 +1377,12 @@ def unigram_lm_score(docs: DataFrame) -> DataFrame:
     )
     vocab_cnt = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
     total = vocab_cnt.agg(F.sum("cnt").cast("double").alias("__total"))
+    # broadcast the count table: a shuffled term join would repartition tf
+    # by Zipf-skewed words (same hot-key pileup encode_docs avoids). Beyond
+    # a broadcastable vocab (~10^8 raw terms) swap to the salted join in
+    # operators/skew.py — the estimator is unchanged.
     doc_nll = (
-        tf.join(vocab_cnt, "term")
+        tf.join(F.broadcast(vocab_cnt), "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -1407,9 +1396,36 @@ def unigram_lm_score(docs: DataFrame) -> DataFrame:
             ).alias("nll")
         )
     )
-    scored = docs.select("doc_id").join(doc_nll, "doc_id", "left").select(
+    return docs.select("doc_id").join(doc_nll, "doc_id", "left").select(
         "doc_id", F.coalesce("nll", F.lit(0.0)).alias("nll")
     )
+
+
+def unigram_lm_score(docs: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality scoring + head/middle/tail buckets
+    (Wenzek et al., LREC 2020 — the corpus-curation step that orders a crawl
+    by LM fit and keeps the "head"). The container has no KenLM, so the LM
+    is the corpus's own unigram model (:func:`unigram_doc_nll`) — the same
+    scoring contract with an oracle-expressible estimator; bucket =
+    head | middle | tail by EXACT terciles of (nll, doc_id).
+
+    Lower nll = more typical text. Scale shape: one token-explode
+    groupBy(doc_id, term) (the tf table), a BROADCAST join against the
+    |vocab|-row count table (a shuffled term join would repartition tf by
+    Zipf-skewed words — the hot-key pileup encode_docs also avoids; beyond
+    a broadcastable vocab swap to operators/skew.py's salted join), the
+    corpus total riding as a broadcast 1-row aggregate, then the tercile
+    ranking via `scalable_dense_rank` — the range-partitioned counting
+    sort, NO single-task window over the corpus. Ranking uses the ROUNDED
+    6dp nll (ties broken by doc_id) so both engines rank identical keys.
+
+    Output: ``(doc_id, nll: double 6dp, bucket: string)`` for every doc;
+    empty docs score 0.0 (they sort to the head and a length filter owns
+    them, not the LM).
+    """
+    from trianglecounting_spark.operators.normalize import scalable_dense_rank
+
+    scored = unigram_doc_nll(docs)
     ranked = scalable_dense_rank(
         scored, [F.col("nll").asc(), F.col("doc_id").asc()], ["doc_id", "nll"],
         out_col="__rn",
