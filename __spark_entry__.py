@@ -61,6 +61,10 @@ from trianglecounting_spark.operators.components import (
     component_size_dist,
     component_size_dist_sql,
 )
+from trianglecounting_spark.operators.redirects import (
+    resolve_redirects,
+    resolve_redirects_sql,
+)
 from trianglecounting_spark.operators.scc import (
     condensation_levels,
     condensation_levels_sql,
@@ -216,6 +220,29 @@ def _recip_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("src"), F.col("u").alias("dst")
     )
     return fwd.unionAll(back)
+
+
+def _redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic redirect map over the page-id universe:
+    red(src) = min undirected neighbor, for the ~3/4 of vertices whose hash
+    passes (the rest are "final" URLs). Min-pointers descend toward small
+    ids, so chains terminate at hash-excluded vertices or collapse into
+    2-cycles (mutual minima = redirect loops, live on the real web). Exact
+    int64 hash — identical in the DuckDB twin `_REDIRECT_CTES`."""
+    e = _edges(spark, sf_dir)
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    keep = (
+        F.pmod(
+            F.pmod(F.col("src"), F.lit(T._SAMPLE_M)) * F.lit(T._SAMPLE_A)
+            + F.lit(13),
+            F.lit(T._SAMPLE_M),
+        )
+        % 4
+        < 3
+    )
+    return sym.where(keep).groupBy("src").agg(F.min("dst").alias("dst"))
 
 
 def _recip_scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,6 +573,17 @@ _RECIP_E_CTES = (
     f"UNION ALL SELECT v, u FROM samp WHERE "
     f"(((u % {T._SAMPLE_M}) * {T._SAMPLE_A} "
     f"+ (v % {T._SAMPLE_M}) * {T._SAMPLE_B} + 7) % {T._SAMPLE_M}) % 3 = 0)"
+)
+
+# synthetic redirect map (twin of `_redirect_map`) — flat CTEs ending in
+# `red`, spliced into resolve_redirects_sql's WITH RECURSIVE clause
+_REDIRECT_CTES = (
+    f"e AS MATERIALIZED ({_E}), "
+    "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e "
+    "UNION ALL SELECT v, u FROM e), "
+    f"red AS MATERIALIZED (SELECT src, min(dst) AS dst FROM sym "
+    f"WHERE (((src % {T._SAMPLE_M}) * {T._SAMPLE_A} + 13) % {T._SAMPLE_M}) "
+    f"% 4 < 3 GROUP BY src)"
 )
 
 _DODG = (
@@ -923,6 +961,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc + exact head/middle/tail terciles via the counting-sort rank
     q["lm_score_buckets"] = lambda s, d: TS.unigram_lm_score(_docs(s, d))
 
+    # redirect-chain resolution (round 5): pointer doubling over the
+    # deterministic min-neighbor redirect map — loops detected, 5 rounds
+    # for the HTTP cap of 32
+    q["resolve_redirects"] = lambda s, d: resolve_redirects(
+        _redirect_map(s, d)
+    )
+
     # weighted SSSP (round 5): frontier-parallel Bellman-Ford on
     # deterministic hash weights 1..9 from the minimum vertex id
     q["sssp_weighted"] = lambda s, d: sssp_weighted(
@@ -1254,6 +1299,7 @@ def extra_oracle_sql() -> dict[str, str]:
     o["eigencentrality"] = eigenvector_centrality_unrolled_sql(_E, iterations=4)
     o["condensation_levels"] = condensation_levels_sql(_RECIP_E_CTES)
     o["lm_score_buckets"] = TS.unigram_lm_score_sql()
+    o["resolve_redirects"] = resolve_redirects_sql(_REDIRECT_CTES)
     from trianglecounting_spark.functions import sampling as SAMP2
 
     o["domain_mixture"] = SAMP2.domain_mixture_sql(

@@ -978,3 +978,48 @@ def test_condensation_levels_matches_duckdb(spark):
         for r in condensation_levels(de).collect()
     ]
     assert got == oracle
+
+
+def test_resolve_redirects_hand_shapes(spark):
+    from trianglecounting_spark.operators.redirects import resolve_redirects
+
+    # chain, 2-loop, rho (tail into a loop), exact-cap chain, over-cap chain
+    red = (
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 10), (20, 21), (21, 22), (22, 21)]
+        + [(100 + i, 100 + i + 1) for i in range(32)]
+        + [(200 + i, 200 + i + 1) for i in range(33)]
+    )
+    rd = spark.createDataFrame(red, "src long, dst long")
+    got = {r.src: (r.final, r.hops, r.resolved)
+           for r in resolve_redirects(rd).collect()}
+    assert got[0] == (3, 3, True)          # plain chain
+    assert got[10] == (10, 32, False)      # 2-loop: back home after cap hops
+    assert got[20] == (22, 32, False)      # rho: parked inside the loop
+    assert got[100] == (132, 32, True)     # terminal at exactly cap hops
+    assert got[200] == (232, 32, False)    # one past cap -> unresolved
+
+
+def test_resolve_redirects_matches_duckdb(spark):
+    import duckdb
+
+    from trianglecounting_spark.operators.redirects import (
+        resolve_redirects,
+        resolve_redirects_sql,
+    )
+
+    # deterministic functional map with mixed chains/loops
+    red = [(i, (i * 2654435761 + 11) % 80) for i in range(80)
+           if (i * 40503 + 3) % 5 != 0]
+    ctes = (
+        "red AS MATERIALIZED (SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in red)
+        + ") t(src, dst))"
+    )
+    con = duckdb.connect()
+    oracle = {r[0]: r[1:] for r in
+              con.execute(resolve_redirects_sql(ctes)).fetchall()}
+    con.close()
+    rd = spark.createDataFrame(red, "src long, dst long")
+    got = {r.src: (r.final, r.hops, r.resolved)
+           for r in resolve_redirects(rd).collect()}
+    assert got == oracle
