@@ -56,6 +56,8 @@ from trianglecounting_spark.operators.linkpred import (
     link_prediction_scores_sql,
 )
 from trianglecounting_spark.operators.components import (
+    attack_tolerance,
+    attack_tolerance_sql,
     connected_components,
     cc_minlabel_unrolled_sql,
     component_size_dist,
@@ -938,6 +940,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # giant fraction + periphery shape from two counts over CC labels
     q["component_size_dist"] = lambda s, d: component_size_dist(_edges(s, d))
 
+    # targeted-attack robustness (round 5): remove top-f% hubs by
+    # (degree desc, id asc), giant-component degradation curve
+    q["attack_tolerance"] = lambda s, d: attack_tolerance(_edges(s, d))
+
     # directed triangle census (round 5): cyclic vs transitive closed
     # triads over the reciprocated web sample — rides the degree-ordered
     # undirected enumeration once, classifies orientations in closed form
@@ -1294,6 +1300,7 @@ def extra_oracle_sql() -> dict[str, str]:
     o["cocitation"] = LP.cocitation_sql(_RECIP_E_CTES, min_common=2)
     o["bib_coupling"] = LP.bibliographic_coupling_sql(_RECIP_E_CTES, min_common=2)
     o["component_size_dist"] = component_size_dist_sql(_E, rounds=25)
+    o["attack_tolerance"] = attack_tolerance_sql(_E)
     o["triad_census"] = directed_triangle_census_sql(_RECIP_E_CTES)
     o["sssp_weighted"] = sssp_weighted_unrolled_sql(_E, rounds=25)
     o["eigencentrality"] = eigenvector_centrality_unrolled_sql(_E, iterations=4)

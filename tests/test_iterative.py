@@ -1023,3 +1023,54 @@ def test_resolve_redirects_matches_duckdb(spark):
     got = {r.src: (r.final, r.hops, r.resolved)
            for r in resolve_redirects(rd).collect()}
     assert got == oracle
+
+
+def test_attack_tolerance_hand_case(spark):
+    from trianglecounting_spark.operators.components import attack_tolerance
+
+    # hub-and-spoke (0 joins everything) + a separate triangle: removing the
+    # single top hub (f large enough for k=1) shatters the star
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)] + [(20, 21), (21, 22), (20, 22)],
+        "u long, v long",
+    )
+    # n = 12 vertices; f=0.05 -> k=1 (vertex 0, degree 8)
+    rows = {r.frac: r for r in attack_tolerance(e, fracs=(0.05,)).collect()}
+    r = rows[0.05]
+    assert r.removed == 1 and r.n_survivors == 11
+    # survivors: 8 isolated spokes + the intact triangle -> giant = 3
+    assert r.giant_size == 3
+    assert r.giant_frac == round(3 / 11, 6)
+
+
+def test_attack_tolerance_matches_duckdb(spark):
+    import duckdb
+
+    from trianglecounting_spark.operators.components import (
+        attack_tolerance,
+        attack_tolerance_sql,
+    )
+
+    arcs = [
+        (a, b)
+        for a in range(60)
+        for b in range(60)
+        if a < b and ((a * 2654435761 + b * 40503) % 211) < 9
+    ]
+    edges_sql = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in arcs)
+        + ") t(u, v)"
+    )
+    con = duckdb.connect()
+    oracle = {
+        r[0]: r[1:]
+        for r in con.execute(attack_tolerance_sql(edges_sql)).fetchall()
+    }
+    con.close()
+    e = spark.createDataFrame(arcs, "u long, v long")
+    got = {
+        r.frac: (r.removed, r.n_survivors, r.giant_size, r.giant_frac)
+        for r in attack_tolerance(e).collect()
+    }
+    assert got == oracle

@@ -19,6 +19,8 @@ Output/parity: exact integer labels (north_rule: exact equality).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -178,3 +180,126 @@ def component_size_dist_sql(edges_sql: str, rounds: int = 25) -> str:
         "SELECT size, CAST(count(*) AS BIGINT) AS n_components "
         "FROM csd_s GROUP BY size"
     )
+
+
+def attack_tolerance(
+    edges: DataFrame, fracs: tuple[float, ...] = (0.01, 0.05, 0.10)
+) -> DataFrame:
+    """Targeted-attack robustness curve (Albert, Jeong & Barabási, Nature
+    2000): remove the top ⌈f·n⌉ vertices by (degree desc, id asc) — the
+    deterministic "attack the hubs" order — and measure how the giant
+    component degrades. The scale-free web is famously robust to random
+    failure and fragile to exactly this attack; the curve is the standard
+    resilience report for a link graph.
+
+    Per fraction: exact top-k cut via `scalable_dense_rank` (the
+    range-partitioned counting sort — no single-task window), one
+    broadcast-friendly anti-join to drop the hubs' edges, then the
+    large-star/small-star CC fixpoint on the survivors. Survivors with no
+    remaining edge are size-1 components, so an edgeless remainder has
+    giant_size 1 by convention (both engines).
+
+    Output, one row per fraction: ``(frac, removed, n_survivors,
+    giant_size, giant_frac)`` with giant_frac = giant_size/n_survivors
+    rounded 6dp.
+    """
+    from trianglecounting_spark.operators.normalize import scalable_dense_rank
+
+    spark = edges.sparkSession
+    sym = undirect(edges)
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    deg, deg_ids = tracked_checkpoint(deg)
+    n = deg.count()
+    ranked = scalable_dense_rank(
+        deg, [F.col("deg").desc(), F.col("v").asc()], ["v", "deg"], out_col="rn"
+    )
+    ranked, rk_ids = tracked_checkpoint(ranked)
+    rows = []
+    for f in fracs:
+        k = math.ceil(f * n)
+        cut = ranked.where(F.col("rn") < k).select("v")
+        surv = edges.join(
+            cut.withColumnRenamed("v", "u"), "u", "left_anti"
+        ).join(cut, "v", "left_anti")
+        sizes = (
+            connected_components(surv)
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .agg(F.coalesce(F.max("size"), F.lit(1)).cast("long").alias("g"))
+        )
+        giant = sizes.collect()[0]["g"]
+        rows.append((float(f), int(k), int(n - k), int(giant)))
+    release_ids(spark, deg_ids)
+    release_ids(spark, rk_ids)
+    # the one float division rides Spark's round (matches the oracle's
+    # round text), not Python's banker's rounding
+    return spark.createDataFrame(
+        rows, "frac double, removed long, n_survivors long, giant_size long"
+    ).select(
+        "frac", "removed", "n_survivors", "giant_size",
+        F.round(
+            F.col("giant_size") / F.greatest("n_survivors", F.lit(1)), 6
+        ).alias("giant_frac"),
+    )
+
+
+def attack_tolerance_sql(
+    edges_sql: str, fracs: tuple[float, ...] = (0.01, 0.05, 0.10),
+    rounds: int = 40,
+) -> str:
+    """DuckDB twin of ``attack_tolerance`` — same deterministic cut order,
+    min-label CC flood per fraction (``rounds`` must cover the surviving
+    graph's diameter; hub removal lengthens paths, hence 40 > the usual
+    25)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e "
+        "UNION ALL SELECT v AS src, u AS dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg "
+        "FROM sym GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM deg)",
+        "rk AS MATERIALIZED (SELECT v, row_number() OVER "
+        "(ORDER BY deg DESC, v ASC) AS rn FROM deg)",
+    ]
+    selects = []
+    for i, f in enumerate(fracs):
+        parts.append(
+            f"cut{i} AS MATERIALIZED (SELECT v FROM rk "
+            f"WHERE rn <= ceil({f!r} * (SELECT n FROM nn)))"
+        )
+        parts.append(
+            f"se{i} AS MATERIALIZED (SELECT u, v FROM e "
+            f"WHERE u NOT IN (SELECT v FROM cut{i}) "
+            f"AND v NOT IN (SELECT v FROM cut{i}))"
+        )
+        parts.append(
+            f"s{i}sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM se{i} "
+            f"UNION ALL SELECT v AS src, u AS dst FROM se{i})"
+        )
+        parts.append(
+            f"s{i}l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl "
+            f"FROM s{i}sym)"
+        )
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"s{i}l{r} AS MATERIALIZED (SELECT p.v AS v, "
+                f"least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl "
+                f"FROM s{i}l{r-1} p LEFT JOIN s{i}sym s ON s.dst = p.v "
+                f"LEFT JOIN s{i}l{r-1} q ON q.v = s.src GROUP BY p.v, p.lbl)"
+            )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT coalesce(max(cnt), 1) AS g FROM "
+            f"(SELECT lbl, count(*) AS cnt FROM s{i}l{rounds} GROUP BY lbl))"
+        )
+        selects.append(
+            f"SELECT CAST({f!r} AS DOUBLE) AS frac, "
+            f"CAST(ceil({f!r} * (SELECT n FROM nn)) AS BIGINT) AS removed, "
+            f"CAST((SELECT n FROM nn) - ceil({f!r} * (SELECT n FROM nn)) "
+            f"AS BIGINT) AS n_survivors, "
+            f"CAST((SELECT g FROM g{i}) AS BIGINT) AS giant_size, "
+            f"round((SELECT g FROM g{i}) / greatest((SELECT n FROM nn) "
+            f"- ceil({f!r} * (SELECT n FROM nn)), 1), 6) AS giant_frac"
+        )
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)
