@@ -231,6 +231,32 @@ def main() -> None:
             "bfs_levels",
             lambda: bfs_distances(_sampled(edges)).agg(F.max("dist")).collect(),
         )
+        # round-5 ninth-wave lanes: integer power iteration, pointer-doubled
+        # redirect resolution, hub-attack robustness (3 CC fixpoints)
+        from trianglecounting_spark.operators.pagerank import (
+            eigenvector_centrality,
+        )
+        from trianglecounting_spark.operators.redirects import resolve_redirects
+        from trianglecounting_spark.operators.components import attack_tolerance
+        from trianglecounting_spark.operators.normalize import undirect
+
+        timed_rep(
+            "eigencentrality_4",
+            lambda: eigenvector_centrality(edges, iterations=4)
+            .agg(F.max("score")).collect(),
+        )
+        timed_rep(
+            "resolve_redirects",
+            lambda: resolve_redirects(
+                undirect(edges).groupBy(F.col("src")).agg(
+                    F.min("dst").alias("dst")
+                )
+            ).agg(F.sum(F.col("resolved").cast("long"))).collect(),
+        )
+        timed_rep(
+            "attack_tolerance",
+            lambda: attack_tolerance(_sampled(edges)).collect(),
+        )
         # Brandes pivot betweenness on the sampled subgraph (round 5)
         timed_rep(
             "betweenness_16",
