@@ -1202,3 +1202,25 @@ def test_unigram_lm_score_matches_duckdb(spark):
     d = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.doc_id: (r.nll, r.bucket) for r in unigram_lm_score(d).collect()}
     assert got == oracle
+
+
+def test_native_approx_ops_error_bounds_vs_exact(spark):
+    """Spark's native sketches (HLL++ count-distinct, GK approx-percentile)
+    are the documented approximate fast path next to this repo's exact
+    lanes (vocab, token_count_quantiles). Pin their error CONTRACT against
+    the exact answers so a regression in either path surfaces: HLL++ at
+    rsd=0.05 must land within 3*rsd; approx_percentile with accuracy 1000
+    within 1% of the exact type-1 quantile on 5000 distinct values."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        (F.col("id") * 2654435761 % 100000).alias("x")
+    )
+    exact = df.select(F.count_distinct("x")).collect()[0][0]
+    approx = df.select(F.approx_count_distinct("x", rsd=0.05)).collect()[0][0]
+    assert abs(approx - exact) <= 0.15 * exact, (approx, exact)
+    med_exact = df.orderBy("x").collect()[2499].x
+    med_approx = df.select(
+        F.percentile_approx("x", 0.5, accuracy=1000)
+    ).collect()[0][0]
+    assert abs(med_approx - med_exact) <= 0.01 * 100000, (med_approx, med_exact)
