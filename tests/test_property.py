@@ -94,3 +94,54 @@ def test_normalize_idempotent_and_canonical(spark, raw):
         ).collect()
     )
     assert again == rows
+
+
+@given(st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)),
+                min_size=1, max_size=14, unique_by=lambda t: t[0]))
+@_PROP
+def test_resolve_redirects_invariants(spark, raw):
+    """On ANY functional map: resolved finals are outside the redirect
+    domain, unresolved rows park at exactly cap hops, resolved hop counts
+    equal the true (Python-walked) chain length, and finals agree with a
+    literal step-by-step walk."""
+    from trianglecounting_spark.operators.redirects import resolve_redirects
+
+    red = {u: v for u, v in raw if u != v}
+    if not red:
+        return
+    rd = spark.createDataFrame(list(red.items()), "src long, dst long")
+    got = {r.src: (r.final, r.hops, r.resolved)
+           for r in resolve_redirects(rd, cap=16).collect()}
+    assert set(got) == set(red)
+    for src, (final, hops, resolved) in got.items():
+        cur, steps = src, 0
+        while cur in red and steps < 16:
+            cur, steps = red[cur], steps + 1
+        if resolved:
+            assert final not in red and (final, hops) == (cur, steps)
+        else:
+            assert hops == 16 and final == cur and final in red
+
+
+@given(_edges)
+@_PROP
+def test_eigenvector_centrality_bruteforce(spark, raw):
+    """Walk-count power iteration == dense integer matrix power on the
+    normalized adjacency, any messy input."""
+    from trianglecounting_spark.operators.pagerank import eigenvector_centrality
+
+    pairs = {(min(u, v), max(u, v)) for u, v in raw if u != v}
+    if not pairs:
+        return
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    x = {v: 1 for v in adj}
+    for _ in range(4):
+        x = {v: sum(x[u] for u in adj[v]) for v in adj}
+    mx = max(x.values())
+    expect = {v: round(c / mx, 6) for v, c in x.items()}
+    df = spark.createDataFrame(sorted(pairs), "u long, v long")
+    got = {r.v: r.score for r in eigenvector_centrality(df).collect()}
+    assert got == expect
