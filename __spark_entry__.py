@@ -58,6 +58,7 @@ from trianglecounting_spark.operators.linkpred import (
 from trianglecounting_spark.operators.components import (
     attack_tolerance,
     attack_tolerance_sql,
+    connected_components_incremental,
     connected_components,
     cc_minlabel_unrolled_sql,
     component_size_dist,
@@ -944,6 +945,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (degree desc, id asc), giant-component degradation curve
     q["attack_tolerance"] = lambda s, d: attack_tolerance(_edges(s, d))
 
+    # incremental CC (round 5): maintain labels under a hash-chosen ~10%
+    # insertion batch via contraction-graph CC; oracle is the FULL-graph
+    # min-label flood — output must be row-identical to a full recompute
+    def _cc_incr(s, d):
+        e = _edges(s, d)
+        h = F.pmod(
+            F.pmod(F.col("u"), F.lit(T._SAMPLE_M)) * F.lit(T._SAMPLE_A)
+            + F.pmod(F.col("v"), F.lit(T._SAMPLE_M)) * F.lit(T._SAMPLE_B)
+            + F.lit(99),
+            F.lit(T._SAMPLE_M),
+        ) % 10
+        base = connected_components(e.where(h != 0))
+        return connected_components_incremental(base, e.where(h == 0))
+
+    q["cc_incremental"] = _cc_incr
+
     # directed triangle census (round 5): cyclic vs transitive closed
     # triads over the reciprocated web sample — rides the degree-ordered
     # undirected enumeration once, classifies orientations in closed form
@@ -1301,6 +1318,9 @@ def extra_oracle_sql() -> dict[str, str]:
     o["bib_coupling"] = LP.bibliographic_coupling_sql(_RECIP_E_CTES, min_common=2)
     o["component_size_dist"] = component_size_dist_sql(_E, rounds=25)
     o["attack_tolerance"] = attack_tolerance_sql(_E)
+    # incremental CC's oracle is the full-graph flood: maintenance must be
+    # indistinguishable from recomputation
+    o["cc_incremental"] = cc_minlabel_unrolled_sql(_E, rounds=25)
     o["triad_census"] = directed_triangle_census_sql(_RECIP_E_CTES)
     o["sssp_weighted"] = sssp_weighted_unrolled_sql(_E, rounds=25)
     o["eigencentrality"] = eigenvector_centrality_unrolled_sql(_E, iterations=4)

@@ -1074,3 +1074,45 @@ def test_attack_tolerance_matches_duckdb(spark):
         for r in attack_tolerance(e).collect()
     }
     assert got == oracle
+
+
+def test_connected_components_incremental_matches_full(spark):
+    from trianglecounting_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    arcs = [
+        (a, b)
+        for a in range(70)
+        for b in range(70)
+        if a < b and ((a * 2654435761 + b * 40503) % 241) < 6
+    ]
+    # deterministic 85/15 split; the batch introduces brand-new vertices too
+    batch = [e for i, e in enumerate(arcs) if i % 7 == 0] + [(100, 101), (101, 5)]
+    base = [e for i, e in enumerate(arcs) if i % 7 != 0]
+    be = spark.createDataFrame(base, "u long, v long")
+    ne = spark.createDataFrame(batch, "u long, v long")
+    labels = connected_components(be)
+    got = {
+        r.v: r.component
+        for r in connected_components_incremental(labels, ne).collect()
+    }
+    full = spark.createDataFrame(sorted(set(base + batch)), "u long, v long")
+    expect = {r.v: r.component for r in connected_components(full).collect()}
+    assert got == expect
+
+
+def test_connected_components_incremental_noop_batch(spark):
+    from trianglecounting_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    # batch entirely inside existing components -> labels unchanged
+    e = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "u long, v long")
+    labels = connected_components(e)
+    ne = spark.createDataFrame([(0, 2)], "u long, v long")
+    got = {r.v: r.component
+           for r in connected_components_incremental(labels, ne).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}

@@ -303,3 +303,77 @@ def attack_tolerance_sql(
             f"- ceil({f!r} * (SELECT n FROM nn)), 1), 6) AS giant_frac"
         )
     return ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def connected_components_incremental(
+    labels: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """Maintain CC labels under a batch of edge INSERTIONS without
+    recomputing on the full graph — the CC member of the engine's
+    incremental-maintenance family (triangles: `triangle_count_delta`;
+    k-truss: `ktruss_incremental`).
+
+    ``labels``: the current exact labeling ``(v, component)`` with
+    component = min vertex id (what `connected_components` emits).
+    ``new_edges``: canonical ``(u, v)`` rows being inserted (may introduce
+    brand-new vertices).
+
+    Insertions only MERGE components, so the update is a CC problem on the
+    CONTRACTION graph: project each new edge onto the component labels of
+    its endpoints (a new vertex is its own singleton label), keep the
+    distinct cross-component label pairs, run the large-star/small-star
+    fixpoint on THAT graph — its size is bounded by the number of affected
+    components, not |V| — and remap. Labels stay canonical: the contraction
+    CC's min label is the global min vertex id of the merged set, so output
+    is row-identical to a full recompute on base ∪ batch (differential- and
+    oracle-tested). Deletions are out of scope (they split, which needs
+    reachability — the full fixpoint is the honest path there).
+
+    Scale shape: two broadcast-friendly label lookups on the (small) batch,
+    a CC fixpoint on the contraction pairs, then ONE hash join of the
+    |V|-row label table against the (tiny, broadcast) remap table.
+    Output: ``(v, component)`` for every vertex in labels ∪ batch.
+    """
+    spark = labels.sparkSession
+    lab_u = labels.select(F.col("v").alias("u"), F.col("component").alias("cu"))
+    lab_v = labels.select("v", F.col("component").alias("cv"))
+    tagged = (
+        new_edges.join(lab_u, "u", "left")
+        .join(lab_v, "v", "left")
+        .select(
+            F.coalesce("cu", F.col("u")).alias("cu"),
+            F.coalesce("cv", F.col("v")).alias("cv"),
+        )
+    )
+    pairs = (
+        tagged.where(F.col("cu") != F.col("cv"))
+        .select(
+            F.least("cu", "cv").alias("u"), F.greatest("cu", "cv").alias("v")
+        )
+        .distinct()
+    )
+    pairs, pair_ids = tracked_checkpoint(pairs)
+    # every vertex the result must cover: old labels + both batch endpoints
+    # (a batch vertex absent from labels starts as its own singleton)
+    batch_verts = new_edges.select(
+        F.explode(F.array("u", "v")).alias("v")
+    ).distinct()
+    base = labels.unionByName(
+        batch_verts.join(labels, "v", "left_anti").select(
+            "v", F.col("v").alias("component")
+        )
+    )
+    if pairs.limit(1).count() == 0:
+        release_ids(spark, pair_ids)
+        out, _ = tracked_checkpoint(base)
+        return out
+    remap = connected_components(pairs)  # (v=old label, component=new label)
+    remap = remap.select(
+        F.col("v").alias("component"), F.col("component").alias("__new")
+    )
+    out = base.join(F.broadcast(remap), "component", "left").select(
+        "v", F.coalesce("__new", F.col("component")).alias("component")
+    )
+    out, _ = tracked_checkpoint(out)
+    release_ids(spark, pair_ids)
+    return out
