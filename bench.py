@@ -257,6 +257,28 @@ def main() -> None:
             "attack_tolerance",
             lambda: attack_tolerance(_sampled(edges)).collect(),
         )
+        # incremental-CC payoff: maintenance step alone (labels prebuilt,
+        # pay-once) vs the full fixpoint above ("connected_components" row)
+        from trianglecounting_spark.operators.components import (
+            connected_components_incremental,
+        )
+
+        h10 = (
+            F.pmod(F.col("u") * 2654435761 + F.col("v") * 40503, F.lit(1 << 31))
+            % 10
+        )
+        base_labels = connected_components(edges.where(h10 != 0))
+        base_labels.count()
+        # base labels are pay-once INPUT state for the maintenance step —
+        # protect their checkpoint blocks from _run's pre-query release
+        # (a localCheckpoint is not recomputable once freed)
+        protected.update(persistent_rdd_ids(spark))
+        timed_rep(
+            "cc_incremental_step",
+            lambda: connected_components_incremental(
+                base_labels, edges.where(h10 == 0)
+            ).select("component").distinct().count(),
+        )
         # Brandes pivot betweenness on the sampled subgraph (round 5)
         timed_rep(
             "betweenness_16",
