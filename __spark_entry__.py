@@ -1238,6 +1238,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         n_cells=16, nprobe=2, k=5,
     )
+
+    # DSIR data selection (Xie et al., NeurIPS 2023): hashed-ngram LM
+    # importance weights against a deterministic "target domain" sample
+    # (every 23rd doc), deterministic top-25% selection
+    q["dsir_weights"] = lambda s, d: SAMP.dsir_weights(
+        _docs(s, d), _docs(s, d).where("doc_id % 23 = 0")
+    )
     return q
 
 
@@ -1450,4 +1457,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "'@example.com or call +1-555-' || "
         "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text FROM documents)"
     )
+    o["dsir_weights"] = SAMP.dsir_weights_sql("doc_id % 23 = 0")
     return o

@@ -1224,3 +1224,60 @@ def test_native_approx_ops_error_bounds_vs_exact(spark):
         F.percentile_approx("x", 0.5, accuracy=1000)
     ).collect()[0][0]
     assert abs(med_approx - med_exact) <= 0.01 * 100000, (med_approx, med_exact)
+
+
+from tests.conftest import SF_SMALL
+
+
+def test_dsir_weights_orders_target_like_docs_first(spark):
+    """DSIR (Xie et al. 2023): docs sharing the target sample's vocabulary
+    must outscore off-target docs; the top-fraction flag is exact; the
+    result is partitioning-invariant."""
+    from trianglecounting_spark.functions.sampling import dsir_weights
+
+    rows = (
+        # target-like: "alpha beta" world; off-target: "zulu yankee" world
+        [(i, "alpha beta gamma alpha beta") for i in range(4)]
+        + [(i, "zulu yankee xray zulu yankee") for i in range(4, 8)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id < 2")  # two alpha-world docs
+    out = dsir_weights(docs, target, buckets=64, keep_frac=0.5).collect()
+    byid = {r.doc_id: r for r in out}
+    assert len(byid) == 8
+    # every alpha-world doc outscores every zulu-world doc
+    lo = min(byid[i].logw for i in range(4))
+    hi = max(byid[i].logw for i in range(4, 8))
+    assert lo > hi
+    # exactly ceil(0.5 * 8) = 4 selected, and they are the alpha docs
+    sel = {r.doc_id for r in out if r.selected}
+    assert sel == {0, 1, 2, 3}
+    # partitioning-invariance
+    out2 = dsir_weights(
+        docs.repartition(7), target.repartition(3), buckets=64, keep_frac=0.5
+    ).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_dsir_weights_matches_duckdb_oracle(spark):
+    """Full-value differential at sf0.001 (the same gate check_contract
+    runs): identical logw at 6dp and identical selected set."""
+    import duckdb
+
+    from trianglecounting_spark.functions.sampling import (
+        dsir_weights,
+        dsir_weights_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in dsir_weights(docs, docs.where("doc_id % 23 = 0")).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(dsir_weights_sql("doc_id % 23 = 0")).fetchall()
+    )
+    assert got == want
