@@ -38,6 +38,8 @@ from trianglecounting_spark.operators.pagerank import (
     pagerank_weighted_unrolled_sql,
     hits,
     hits_unrolled_sql,
+    salsa,
+    salsa_unrolled_sql,
 )
 from trianglecounting_spark.operators.bfs import (
     bfs_distances,
@@ -1245,6 +1247,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsir_weights"] = lambda s, d: SAMP.dsir_weights(
         _docs(s, d), _docs(s, d).where("doc_id % 23 = 0")
     )
+
+    # SALSA (Lempel & Moran 2001): the degree-normalized stochastic
+    # hub/authority walk next to the HITS contract row — same page graph,
+    # same iteration count, no in-loop normalization scalar
+    q["salsa"] = lambda s, d: salsa(_page_edges(s, d), iterations=5).select(
+        "v",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
     return q
 
 
@@ -1458,4 +1469,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text FROM documents)"
     )
     o["dsir_weights"] = SAMP.dsir_weights_sql("doc_id % 23 = 0")
+    o["salsa"] = salsa_unrolled_sql(oracle_sql()["pages_to_edges"], iterations=5)
     return o

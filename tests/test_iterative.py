@@ -1116,3 +1116,48 @@ def test_connected_components_incremental_noop_batch(spark):
     got = {r.v: r.component
            for r in connected_components_incremental(labels, ne).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_salsa_stationary_limit_is_degree_proportional(spark):
+    """SALSA's authority chain is a random walk whose stationary weight on a
+    connected support graph is indeg(j)/m (Lempel & Moran 2001, Prop. 2) —
+    run long enough, the iterate must approach it; hub side mirrors with
+    outdeg(i)/m. Mass is conserved exactly at every length (stochastic
+    steps, no renormalization)."""
+    from trianglecounting_spark.operators.pagerank import salsa
+
+    # strongly-mixing directed graph: 3-cycle + chords (m = 6 edges)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (2, 1), (3, 2)],
+        "src long, dst long",
+    )
+    got = {r.v: (r.hub, r.authority) for r in salsa(e, iterations=20).collect()}
+    m = 6
+    indeg = {1: 2, 2: 2, 3: 2}
+    outdeg = {1: 2, 2: 2, 3: 2}
+    for v in (1, 2, 3):
+        assert abs(got[v][1] - indeg[v] / m) < 1e-9
+        assert abs(got[v][0] - outdeg[v] / m) < 1e-9
+    assert abs(sum(a for _h, a in got.values()) - 1.0) < 1e-9
+    assert abs(sum(h for h, _a in got.values()) - 1.0) < 1e-9
+
+
+def test_salsa_degree_normalization_beats_hits_on_dense_site(spark):
+    """The defining SALSA property: a 'link farm' (one hub spraying many
+    links) cannot buy authority the way it can under HITS — each of its
+    targets receives only 1/outdeg of its mass. Two communities: hub 1
+    points at {10, 11} (2 links), hub 2 points ONLY at 20. Under SALSA,
+    authority(20) = authority(10) + authority(11) side (per-community mass
+    = hub count), and within community A each target gets half. Also:
+    vertices with no in-links have authority exactly 0."""
+    from trianglecounting_spark.operators.pagerank import salsa
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "src long, dst long"
+    )
+    got = {r.v: (r.hub, r.authority) for r in salsa(e, iterations=7).collect()}
+    assert abs(got[10][1] - 0.25) < 1e-12
+    assert abs(got[11][1] - 0.25) < 1e-12
+    assert abs(got[20][1] - 0.5) < 1e-12
+    assert got[1][1] == 0.0 and got[2][1] == 0.0  # never linked-to
+    assert got[10][0] == 0.0  # sinks are not hubs

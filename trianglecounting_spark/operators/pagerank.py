@@ -702,3 +702,127 @@ def eigenvector_centrality_unrolled_sql(
         + f" SELECT v, round(CAST(x AS DOUBLE) / (SELECT m FROM mx), {ndigits})"
         f" AS score FROM x{iterations} ORDER BY v"
     )
+
+
+def salsa(directed_edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """SALSA (Lempel & Moran, WWW 2000 / TOIT 2001) — the stochastic
+    hub/authority companion to :func:`hits`, the link-analysis scheme behind
+    Twitter's who-to-follow. Instead of HITS's mutual-reinforcement sums
+    (which a single dense site can capture), SALSA runs TWO alternating
+    random walks on the bipartite hub/authority view of the directed graph,
+    so every step is degree-normalized:
+
+        a_k(j) = Σ_{i→j} h_{k-1}(i) / outdeg(i)     (hub side → authority)
+        h_k(i) = Σ_{i→j} a_k(j)     / indeg(j)      (authority side → hub)
+
+    starting from the uniform hub distribution h_0 = 1/|{v: outdeg(v)>0}|.
+    Both steps are stochastic, so mass is conserved exactly — unlike HITS
+    there is NO per-iteration normalization scalar and therefore NO driver
+    action inside the loop: the whole run is |2·iterations| join+agg rounds,
+    each checkpointed. For a connected support graph the stationary
+    authority weight is indeg(j)/m — the property test pins that limit.
+
+    Output: ``(v, hub: double, authority: double)`` over ALL vertices of the
+    directed graph (vertices with outdeg 0 have hub 0; indeg 0 → authority
+    0). Scale shape: one pre-joined degree-weighted edge table persisted and
+    re-used every round (the same envelope as the PageRank loop); both
+    per-round aggregates are map-side combined vertex sums.
+
+    No counterpart in /root/reference (strictly a TC engine); public-paper
+    algorithm, north-star link-analysis family.
+    """
+    spark = directed_edges.sparkSession
+    e = directed_edges.select("src", "dst")
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    od = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
+    idg = e.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("ind"))
+    n_part = iteration_partitions(spark, e.count())
+    # degree-annotated edge table, built once, partitioned like the loop's
+    # first join key
+    ew = (
+        e.join(od, "src")
+        .join(idg, "dst")
+        .select("src", "dst", "od", "ind")
+        .repartition(n_part, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ew.count()
+    n_hubs = od.count()
+    hubs = od.select(F.col("src").alias("v"), (F.lit(1.0) / n_hubs).alias("hub"))
+    auths = idg.select(F.col("dst").alias("v"), F.lit(0.0).alias("authority"))
+
+    prev_ids: set[int] = set()
+    with scoped_shuffle_partitions(spark, n_part):
+        for _k in range(iterations):
+            a_new, a_ids = tracked_checkpoint(
+                ew.join(hubs.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum(F.col("hub") / F.col("od").cast("double")).alias("authority"))
+            )
+            h_new, h_ids = tracked_checkpoint(
+                ew.join(
+                    a_new.withColumnRenamed("v", "dst").withColumnRenamed(
+                        "authority", "__a"
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.sum(F.col("__a") / F.col("ind").cast("double")).alias("hub"))
+            )
+            auths, hubs = a_new, h_new
+            release_ids(spark, prev_ids)
+            prev_ids = a_ids | h_ids
+    out = (
+        verts.join(hubs, "v", "left")
+        .join(auths, "v", "left")
+        .select(
+            "v",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
+    ew.unpersist()
+    return out
+
+
+def salsa_unrolled_sql(edges_sql: str, iterations: int = 5,
+                       ndigits: int = 6) -> str:
+    """DuckDB oracle for :func:`salsa` — identical alternating stochastic
+    walk, unrolled; per-edge division before the sum, mirrored exactly."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM e UNION ALL SELECT dst FROM e))",
+        "od AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS od "
+        "FROM e GROUP BY src)",
+        "idg AS MATERIALIZED (SELECT dst, CAST(count(*) AS BIGINT) AS ind "
+        "FROM e GROUP BY dst)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, od.od, idg.ind "
+        "FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst)",
+        "nh AS (SELECT count(*) AS n FROM od)",
+        "h0 AS MATERIALIZED (SELECT src AS v, 1.0/(SELECT n FROM nh) AS hub "
+        "FROM od)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT ew.dst AS v, "
+            f"sum(h.hub / CAST(ew.od AS DOUBLE)) AS authority "
+            f"FROM ew JOIN h{k-1} h ON h.v = ew.src GROUP BY ew.dst)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT ew.src AS v, "
+            f"sum(a.authority / CAST(ew.ind AS DOUBLE)) AS hub "
+            f"FROM ew JOIN a{k} a ON a.v = ew.dst GROUP BY ew.src)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT vv.v, round(coalesce(h.hub, 0.0), {ndigits}) AS hub, "
+        f"round(coalesce(a.authority, 0.0), {ndigits}) AS authority "
+        f"FROM verts vv LEFT JOIN h{iterations} h ON h.v = vv.v "
+        f"LEFT JOIN a{iterations} a ON a.v = vv.v ORDER BY vv.v"
+    )
