@@ -38,6 +38,8 @@ from trianglecounting_spark.operators.pagerank import (
     pagerank_weighted_unrolled_sql,
     hits,
     hits_unrolled_sql,
+    katz_centrality,
+    katz_centrality_unrolled_sql,
     salsa,
     salsa_unrolled_sql,
 )
@@ -975,6 +977,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["eigencentrality"] = lambda s, d: eigenvector_centrality(
         _edges(s, d), iterations=4
     )
+    # Katz centrality: same integer walk counts, attenuated sum over ALL
+    # lengths 1..K (α^k per length) instead of the k→∞ limit
+    q["katz"] = lambda s, d: katz_centrality(
+        _edges(s, d), alpha=0.01, iterations=4
+    )
 
     # condensation DAG levels (round 5): SCC composition showcase —
     # contract SCCs, longest-path layer profile of the acyclic skeleton
@@ -1342,6 +1349,7 @@ def extra_oracle_sql() -> dict[str, str]:
     o["triad_census"] = directed_triangle_census_sql(_RECIP_E_CTES)
     o["sssp_weighted"] = sssp_weighted_unrolled_sql(_E, rounds=25)
     o["eigencentrality"] = eigenvector_centrality_unrolled_sql(_E, iterations=4)
+    o["katz"] = katz_centrality_unrolled_sql(_E, alpha=0.01, iterations=4)
     o["condensation_levels"] = condensation_levels_sql(_RECIP_E_CTES)
     o["lm_score_buckets"] = TS.unigram_lm_score_sql()
     o["resolve_redirects"] = resolve_redirects_sql(_REDIRECT_CTES)

@@ -1161,3 +1161,33 @@ def test_salsa_degree_normalization_beats_hits_on_dense_site(spark):
     assert abs(got[20][1] - 0.5) < 1e-12
     assert got[1][1] == 0.0 and got[2][1] == 0.0  # never linked-to
     assert got[10][0] == 0.0  # sinks are not hubs
+
+
+def test_katz_closed_form_on_path(spark):
+    """Path 1-2-3 with alpha=0.1, K=2: walk counts are hand-computable —
+    w1 = degree; w2(v) = Σ_{u∈N(v)} deg(u). katz = 0.1·w1 + 0.01·w2."""
+    from trianglecounting_spark.operators.pagerank import katz_centrality
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    got = {r.v: r.katz for r in katz_centrality(e, alpha=0.1, iterations=2).collect()}
+    # w1: deg(1)=1 deg(2)=2 deg(3)=1; w2: v1<-2:2, v2<-1+3:2, v3<-2:2
+    assert abs(got[1] - (0.1 * 1 + 0.1**2 * 2)) < 1e-12
+    assert abs(got[2] - (0.1 * 2 + 0.1**2 * 2)) < 1e-12
+    assert abs(got[3] - (0.1 * 1 + 0.1**2 * 2)) < 1e-12
+    # attenuation: the center outranks the leaves
+    assert got[2] > got[1] == got[3]
+
+
+def test_katz_partitioning_invariant(spark):
+    """Integer walk counts commute exactly: any repartitioning yields the
+    identical 6dp result."""
+    from trianglecounting_spark.operators.normalize import normalize_edges
+    from trianglecounting_spark.operators.pagerank import katz_centrality
+    from trianglecounting_spark.sources import generators as g
+
+    e = normalize_edges(g.rmat_graph(spark, scale=7, edge_factor=4))
+    a = sorted(map(tuple, katz_centrality(e, iterations=3).collect()))
+    b = sorted(
+        map(tuple, katz_centrality(e.repartition(13), iterations=3).collect())
+    )
+    assert a == b

@@ -826,3 +826,105 @@ def salsa_unrolled_sql(edges_sql: str, iterations: int = 5,
         f"FROM verts vv LEFT JOIN h{iterations} h ON h.v = vv.v "
         f"LEFT JOIN a{iterations} a ON a.v = vv.v ORDER BY vv.v"
     )
+
+
+def katz_centrality(
+    edges: DataFrame, alpha: float = 0.01, iterations: int = 4
+) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953) by the same INTEGER-EXACT
+    walk-count iteration as :func:`eigenvector_centrality`:
+
+        katz(v) = Σ_{k=1..K} α^k · w_k(v),   w_k(v) = (A^k · 1)(v)
+
+    i.e. every walk of length k ending at v contributes α^k — the classic
+    attenuated-influence index (eigenvector centrality weights only the
+    k→∞ limit; Katz counts SHORT reach too, which is what matters on a
+    bounded-diameter web graph). Each w_k is an exact decimal(38,0) vertex
+    sum (partitioning-invariant); the K float multiply-adds happen ONCE per
+    vertex at the end in a fixed left-to-right order mirrored in the
+    oracle, so the 6dp result is bit-portable. Requires α < 1/λ_max for the
+    untruncated series to converge; the truncated form is a deterministic
+    query for any α.
+
+    Per round: one co-partitioned join + one map-side-combined integer sum
+    (the `pagerank` shuffle envelope). Output: ``(v: long, katz: double
+    6dp)`` over all non-isolated vertices.
+
+    No counterpart in /root/reference; public-paper centrality family
+    (see also eigenvector_centrality, pagerank, hits, salsa).
+    """
+    spark = edges.sparkSession
+    sym = undirect(edges)
+    n_part = iteration_partitions(spark, edges.count() * 2)
+    sym_p = sym.repartition(n_part, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    verts = sym_p.select(F.col("src").alias("v")).distinct().localCheckpoint(
+        eager=False
+    )
+    x = verts.select("v", F.lit(1).cast("decimal(38,0)").alias("x"))
+    walk_tables = []
+    all_ids: set[int] = set()
+    with scoped_shuffle_partitions(spark, n_part):
+        for _k in range(iterations):
+            x = (
+                sym_p.join(x.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("x").cast("decimal(38,0)").alias("x"))
+            )
+            x, new_ids = tracked_checkpoint(x)
+            # every w_k feeds the FINAL select, so (unlike the pure power
+            # iteration) no round's blocks are dead until the result is built
+            all_ids |= new_ids
+            walk_tables.append(x)
+    out = verts
+    terms = []
+    for k, wk in enumerate(walk_tables, start=1):
+        out = out.join(
+            wk.select("v", F.col("x").alias(f"__w{k}")), "v", "left"
+        )
+        terms.append(
+            F.lit(alpha**k)
+            * F.coalesce(F.col(f"__w{k}"), F.lit(0)).cast("double")
+        )
+    # fixed left-to-right accumulation, mirrored in the SQL twin
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    result = out.select("v", F.round(acc, 6).alias("katz"))
+    result = result.localCheckpoint(eager=True)
+    release_ids(spark, all_ids)
+    sym_p.unpersist()
+    return result
+
+
+def katz_centrality_unrolled_sql(
+    edges_sql: str, alpha: float = 0.01, iterations: int = 4,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`katz_centrality` — identical HUGEINT walk
+    counts and the identical left-to-right float fold (α^k literals are
+    generated by the same Python floats on both sides)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e "
+        "UNION ALL SELECT v AS src, u AS dst FROM e)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym)",
+        "x0 AS MATERIALIZED (SELECT v, CAST(1 AS HUGEINT) AS x FROM verts)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT s.dst AS v, "
+            f"CAST(sum(x.x) AS HUGEINT) AS x "
+            f"FROM sym s JOIN x{k-1} x ON x.v = s.src GROUP BY s.dst)"
+        )
+    folded = " + ".join(
+        f"{alpha ** k!r} * CAST(coalesce(x{k}.x, 0) AS DOUBLE)"
+        for k in range(1, iterations + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN x{k} ON x{k}.v = verts.v" for k in range(1, iterations + 1)
+    )
+    return (
+        ", ".join(parts)
+        + f" SELECT verts.v, round({folded}, {ndigits}) AS katz "
+        f"FROM verts {joins} ORDER BY verts.v"
+    )
