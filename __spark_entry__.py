@@ -83,6 +83,8 @@ from trianglecounting_spark.operators.scc import (
     directed_graph_stats_sql,
 )
 from trianglecounting_spark.operators.labelprop import (
+    conductance,
+    conductance_sql,
     label_propagation,
     label_propagation_unrolled_sql,
     modularity,
@@ -1011,6 +1013,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["modularity_lp"] = lambda s, d: modularity(
         _edges(s, d), label_propagation(_edges(s, d), rounds=4)
     )
+    # per-community conductance of the same labeling (cut-quality spectrum,
+    # one integer row per community, one float division each)
+    q["conductance_lp"] = lambda s, d: conductance(
+        _edges(s, d), label_propagation(_edges(s, d), rounds=4)
+    )
 
     # URL canonicalization (round 5): two deliberately-messy deterministic
     # spellings per document (mixed-case host, default port, dup slashes,
@@ -1382,6 +1389,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "round(CAST(sum(tri) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * "
         "CAST(deg * (deg - 1) / 2 AS DOUBLE)), 6) AS c_k "
         "FROM per_v GROUP BY deg"
+    )
+    o["conductance_lp"] = conductance_sql(
+        _E, label_propagation_unrolled_sql(_E, rounds=4)
     )
     o["modularity_lp"] = modularity_sql(
         _E, label_propagation_unrolled_sql(_E, rounds=4)

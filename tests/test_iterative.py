@@ -1191,3 +1191,28 @@ def test_katz_partitioning_invariant(spark):
         map(tuple, katz_centrality(e.repartition(13), iterations=3).collect())
     )
     assert a == b
+
+
+def test_conductance_closed_form_two_cliques_bridge(spark):
+    """Two triangles joined by one bridge edge, labels = the two sides:
+    each side has cut 1 and vol 7 (2m = 14, min(7, 7) = 7) → φ = 1/7.
+    The whole-graph community reports φ = 0.0 (denominator guard)."""
+    from trianglecounting_spark.operators.labelprop import conductance
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)],
+        "u long, v long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "v long, label long",
+    )
+    got = {r.label: r for r in conductance(e, labels).collect()}
+    for lab in (10, 20):
+        assert got[lab].n_vertices == 3
+        assert got[lab].cut == 1
+        assert got[lab].vol == 7
+        assert abs(got[lab].phi - 1 / 7) < 1e-6
+    one = spark.createDataFrame([(v, 99) for v in range(1, 7)], "v long, label long")
+    (r,) = conductance(e, one).collect()
+    assert (r.cut, r.phi) == (0, 0.0)

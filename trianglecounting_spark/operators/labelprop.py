@@ -178,3 +178,96 @@ def modularity_sql(edges_sql: str, labels_sql: str) -> str:
         "(4.0 * CAST(mq_ec.m AS DOUBLE) * CAST(mq_ec.m AS DOUBLE)), 6) AS q "
         "FROM mq_ec, mq_ds"
     )
+
+
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance φ(C) — the cut-quality companion to the
+    single-scalar :func:`modularity` (Kannan/Vempala/Vetta's cluster-quality
+    measure; the score spectral/sweep-cut methods optimize):
+
+        φ(C) = cut(C) / min(vol(C), 2m − vol(C))
+
+    with cut(C) = #edges leaving C, vol(C) = Σ_{v∈C} deg(v) — ALL exact
+    integers; the single float division happens once per community row, so
+    the 6dp output is partitioning-invariant. A community with
+    min(vol, 2m−vol) = 0 (the whole graph, or degree-0 noise) reports
+    φ = 0.0 — both engines spell that as coalesce(cut/nullif(den,0), 0).
+
+    Scale: one labels join per endpoint (the LP-round shuffle shape), the
+    cut count via an unioned per-community aggregate (each boundary edge
+    contributes to BOTH its communities), a degree⋈label sum — every
+    aggregate map-side combined, keyed by community (bounded by #labels;
+    a mega-community is one row, never a row pileup).
+
+    Output: ``(label, n_vertices, vol, cut, phi)`` one row per community.
+    No counterpart in /root/reference; public community-detection metric.
+    """
+    lu = labels.select(F.col("v").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("v").alias("v"), F.col("label").alias("lv"))
+    j = edges.join(lu, "u").join(lv, "v")
+    boundary = j.where(F.col("lu") != F.col("lv"))
+    cut = (
+        boundary.select(F.col("lu").alias("label"))
+        .unionAll(boundary.select(F.col("lv").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    from trianglecounting_spark.operators.normalize import degrees
+
+    vol = (
+        degrees(edges)
+        .join(labels, "v")
+        .groupBy("label")
+        .agg(
+            F.sum("deg").cast("long").alias("vol"),
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        )
+    )
+    two_m = edges.agg((F.count(F.lit(1)) * 2).cast("long").alias("__2m"))
+    den = F.least(F.col("vol"), F.col("__2m") - F.col("vol"))
+    return (
+        vol.join(cut, "label", "left")
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "label",
+            "n_vertices",
+            "vol",
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            F.round(
+                F.coalesce(
+                    F.coalesce(F.col("cut"), F.lit(0)).cast("double")
+                    / F.nullif(den.cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+def conductance_sql(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB twin of :func:`conductance` (labels from any (v, label)
+    query, e.g. ``label_propagation_unrolled_sql``)."""
+    return (
+        f"WITH cq_e AS MATERIALIZED ({edges_sql}), "
+        f"cq_lab AS MATERIALIZED (SELECT v, label FROM ({labels_sql})), "
+        "cq_deg AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM "
+        "(SELECT u AS x FROM cq_e UNION ALL SELECT v AS x FROM cq_e) GROUP BY x), "
+        "cq_j AS MATERIALIZED (SELECT lu.label AS lu, lv.label AS lv "
+        "FROM cq_e JOIN cq_lab lu ON lu.v = cq_e.u "
+        "JOIN cq_lab lv ON lv.v = cq_e.v), "
+        "cq_cut AS (SELECT label, CAST(count(*) AS BIGINT) AS cut FROM "
+        "(SELECT lu AS label FROM cq_j WHERE lu <> lv "
+        "UNION ALL SELECT lv FROM cq_j WHERE lu <> lv) GROUP BY label), "
+        "cq_vol AS (SELECT cq_lab.label, "
+        "CAST(sum(cq_deg.deg) AS BIGINT) AS vol, "
+        "CAST(count(*) AS BIGINT) AS n_vertices "
+        "FROM cq_deg JOIN cq_lab ON cq_lab.v = cq_deg.v GROUP BY cq_lab.label), "
+        "cq_m AS (SELECT CAST(count(*) * 2 AS BIGINT) AS m2 FROM cq_e) "
+        "SELECT v.label, v.n_vertices, v.vol, "
+        "CAST(coalesce(c.cut, 0) AS BIGINT) AS cut, "
+        "round(coalesce(CAST(coalesce(c.cut, 0) AS DOUBLE) / "
+        "nullif(CAST(least(v.vol, m.m2 - v.vol) AS DOUBLE), 0.0), 0.0), 6) AS phi "
+        "FROM cq_vol v LEFT JOIN cq_cut c ON c.label = v.label, cq_m m "
+        "ORDER BY v.label"
+    )
