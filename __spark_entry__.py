@@ -1179,10 +1179,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # gap-based sessionization over the events stream (batch form of the
     # session_window stateful op): one shuffle on user_id, total-order key
-    from trianglecounting_spark.functions.events import sessionize
+    from trianglecounting_spark.functions.events import (
+        event_transition_graph,
+        sessionize,
+    )
 
     q["sessionize"] = lambda s, d: sessionize(
         s.read.parquet(f"{d}/events.parquet"), gap_minutes=30
+    )
+    # Markov transition graph of the event stream (sequence mining): a
+    # second deterministic edge source — feeds pagerank_weighted/scc/salsa
+    q["event_transitions"] = lambda s, d: event_transition_graph(
+        s.read.parquet(f"{d}/events.parquet")
     )
 
     # BM25 ranked retrieval for a fixed query — quality-aware selection /
@@ -1429,7 +1437,10 @@ def extra_oracle_sql() -> dict[str, str]:
     from trianglecounting_spark.operators.walks import random_walks_sql
     from trianglecounting_spark.functions import sampling as SAMP
 
-    from trianglecounting_spark.functions.events import sessionize_sql
+    from trianglecounting_spark.functions.events import (
+        event_transition_graph_sql,
+        sessionize_sql,
+    )
     from trianglecounting_spark.operators.centrality import betweenness_pivots_sql
 
     from trianglecounting_spark.operators.mis import mis_unrolled_sql
@@ -1455,6 +1466,7 @@ def extra_oracle_sql() -> dict[str, str]:
     o["host_pagerank"] = pagerank_weighted_unrolled_sql(_HOST_WEDGES, iterations=10)
 
     o["sessionize"] = sessionize_sql(gap_minutes=30)
+    o["event_transitions"] = event_transition_graph_sql()
     o["bm25_topk"] = TS.bm25_topk_sql(
         query=["customer", "stream", "merge"], top=20
     )

@@ -1281,3 +1281,30 @@ def test_dsir_weights_matches_duckdb_oracle(spark):
         tuple(r) for r in con.execute(dsir_weights_sql("doc_id % 23 = 0")).fetchall()
     )
     assert got == want
+
+
+def test_event_transition_graph_closed_form(spark):
+    """Two users: A does login->search->buy, B does login->search->leave.
+    Transitions: login->search ×2 (p=1.0), search->buy and search->leave
+    ×1 each (p=0.5). Tie-broken deterministically by (ts, event_id)."""
+    from datetime import datetime
+
+    from trianglecounting_spark.functions.events import event_transition_graph
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, uid, typ, sec):
+        return (eid, datetime(2024, 1, 1, 0, 0, sec), uid, typ)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 7, "login", 0), ev(2, 7, "search", 10), ev(3, 7, "buy", 20),
+            ev(4, 8, "login", 0), ev(5, 8, "search", 5), ev(6, 8, "leave", 9),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {(r.src, r.dst): (r.n, r.p) for r in event_transition_graph(events).collect()}
+    assert got[("login", "search")] == (2, 1.0)
+    assert got[("search", "buy")] == (1, 0.5)
+    assert got[("search", "leave")] == (1, 0.5)
+    assert len(got) == 3

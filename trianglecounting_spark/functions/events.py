@@ -86,3 +86,62 @@ SELECT user_id, session_no,
   round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
 """.strip()
+
+
+def event_transition_graph(events: DataFrame) -> DataFrame:
+    """Markov transition graph of the event stream: one weighted directed
+    edge per ordered pair of CONSECUTIVE events within a user's stream —
+    the sequence-mining front door (funnel analysis, next-event prediction,
+    anomalous-flow detection), and a second deterministic edge source for
+    the graph engine: its output feeds ``pagerank_weighted`` / ``scc`` /
+    ``salsa`` unchanged.
+
+        src = event_type of step k, dst = event_type of step k+1
+        n   = #occurrences of that transition (exact integer)
+        p   = n / Σ_dst n   (row-stochastic transition probability, 6dp)
+
+    Ordering inside a user is the TOTAL key (ts, event_id) — deterministic
+    under timestamp ties, same contract as :func:`sessionize`. Scale: ONE
+    shuffle keyed on user_id (the lag window), then a map-side-combined
+    count keyed by the bounded (src, dst) type-pair vocabulary and a
+    broadcast-sized per-src normalizer join — hot users cost their own
+    partition's sort, nothing else.
+
+    Output: ``(src: string, dst: string, n: long, p: double)``.
+    No counterpart in /root/reference; events-analytics family.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = events.select(
+        "user_id",
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).where(F.col("src").isNotNull())
+    counts = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    norm = counts.groupBy("src").agg(F.sum("n").cast("long").alias("__t"))
+    return (
+        counts.join(F.broadcast(norm), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__t").cast("double"), 6).alias("p"),
+        )
+    )
+
+
+def event_transition_graph_sql(events_rel: str = "events") -> str:
+    """DuckDB twin of :func:`event_transition_graph` — identical total
+    order, counts, and normalization."""
+    return (
+        "WITH st AS MATERIALIZED (SELECT user_id, event_type AS dst, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src "
+        f"FROM {events_rel}), "
+        "c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM st "
+        "WHERE src IS NOT NULL GROUP BY src, dst), "
+        "t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tt FROM c GROUP BY src) "
+        "SELECT c.src, c.dst, c.n, "
+        "round(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6) AS p "
+        "FROM c JOIN t USING (src) ORDER BY c.src, c.dst"
+    )
