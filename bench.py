@@ -245,6 +245,37 @@ def main() -> None:
             lambda: eigenvector_centrality(edges, iterations=4)
             .agg(F.max("score")).collect(),
         )
+        # round-5 eleventh-wave lanes: attenuated walk sums, the stochastic
+        # hub/authority walk (on the reciprocated directed sample), DSIR
+        # data selection, per-community conductance of the LP labeling
+        from trianglecounting_spark.operators.pagerank import (
+            katz_centrality,
+            salsa,
+        )
+        from trianglecounting_spark.operators.labelprop import conductance
+        from trianglecounting_spark.functions.sampling import dsir_weights
+
+        timed_rep(
+            "katz_4",
+            lambda: katz_centrality(edges, iterations=4)
+            .agg(F.max("katz")).collect(),
+        )
+        timed_rep(
+            "salsa_5",
+            lambda: salsa(_recip_directed(edges), iterations=5)
+            .agg(F.max("authority")).collect(),
+        )
+        timed_rep(
+            "dsir_weights",
+            lambda: dsir_weights(docs, docs.where("doc_id % 23 = 0"))
+            .where(F.col("selected")).count(),
+        )
+        timed_rep(
+            "conductance_lp",
+            lambda: conductance(
+                edges, label_propagation(edges, rounds=4)
+            ).agg(F.max("phi")).collect(),
+        )
         timed_rep(
             "resolve_redirects",
             lambda: resolve_redirects(
