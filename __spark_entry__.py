@@ -183,6 +183,30 @@ def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-capture crawl table for the snapshot-consolidation lane: doc i is
+# captured (i % 3) + 1 times a week apart; odd docs' text CHANGES per capture
+# (churn), even docs re-crawl byte-identical. Same closed form in the oracle.
+def _doc_pages_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://site"), (i % 50).cast("string"),
+                   F.lit(".example/page/"), i.cast("string"))
+    cap = d.select(
+        "doc_id", "text", url.alias("url"),
+        F.explode(F.sequence(F.lit(0).cast("long"), i % 3)).alias("c"),
+    )
+    return cap.select(
+        "url",
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("c") * 7).cast("int")).cast("timestamp")
+        .alias("warc_ts"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.col("text"), F.lit(" v"), F.col("c").cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+
 def _page_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The directed page-hyperlink graph, built ONCE per session: four
     contract queries (directed PR, personalized PR, HITS, pages_to_edges)
@@ -1278,6 +1302,52 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )
+
+    # --- round-5 twelfth wave -------------------------------------------
+    # TrustRank + relative spam mass (Gyöngyi et al. 2004/2006): trust
+    # flows from the fixed "hand-reviewed" seed whitelist {0,1,2} (the same
+    # data-independent literals as pagerank_personalized — TrustRank's seeds
+    # are human-chosen by definition, so literals are the faithful model)
+    from trianglecounting_spark.operators.pagerank import (
+        trustrank,
+        trustrank_unrolled_sql,  # noqa: F401  (used by extra_oracle_sql)
+    )
+
+    q["trustrank"] = lambda s, d: trustrank(
+        _page_edges(s, d), seeds=[0, 1, 2], iterations=5
+    )
+    # sequence packing (concatenate-and-chunk): every doc's global token
+    # offset + covered training-sequence ids — all-int64, distributed
+    # prefix sum, never a single-task window
+    q["pack_sequences"] = lambda s, d: SAMP.pack_sequences(
+        _docs(s, d), seq_len=512
+    )
+    # BPE merge training (tokenizer TRAINING; encode_docs is application):
+    # first 8 merges, greedy left-to-right fold identical in both engines
+    q["bpe_merges"] = lambda s, d: TS.bpe_train(_docs(s, d), n_merges=8)
+    # ordered conversion funnel over the event stream (view→click→purchase)
+    from trianglecounting_spark.functions.events import funnel
+
+    q["funnel"] = lambda s, d: funnel(
+        s.read.parquet(f"{d}/events.parquet")
+    )
+    # SimRank (Jeh & Widom 2002) — the recursive in-link similarity, next
+    # to its own first iteration (cocitation). Exact SimRank is pair-
+    # quadratic BY DEFINITION, so the contract row runs on a bounded low-id
+    # slice of the reciprocated directed sample (web deployments truncate;
+    # this keeps the lane exact-oracle-checkable)
+    from trianglecounting_spark.operators.linkpred import simrank
+
+    q["simrank"] = lambda s, d: simrank(
+        _recip_directed_edges(s, d).where("src < 400 AND dst < 400"),
+        iterations=3,
+    )
+    # --- round-5 thirteenth wave ----------------------------------------
+    # snapshot consolidation: per-url latest-capture dedup + churn stats
+    # over a multi-capture crawl table (the warc_ts column's raison d'être)
+    q["url_snapshots"] = lambda s, d: PG.latest_snapshot(
+        _doc_pages_captures(s, d)
+    )
     return q
 
 
@@ -1500,4 +1570,33 @@ def extra_oracle_sql() -> dict[str, str]:
     )
     o["dsir_weights"] = SAMP.dsir_weights_sql("doc_id % 23 = 0")
     o["salsa"] = salsa_unrolled_sql(oracle_sql()["pages_to_edges"], iterations=5)
+
+    # --- round-5 twelfth wave -------------------------------------------
+    from trianglecounting_spark.operators.pagerank import trustrank_unrolled_sql
+    from trianglecounting_spark.functions.events import funnel_sql
+
+    o["trustrank"] = trustrank_unrolled_sql(
+        oracle_sql()["pages_to_edges"], seeds=[0, 1, 2], iterations=5
+    )
+    o["pack_sequences"] = SAMP.pack_sequences_sql(seq_len=512)
+    o["bpe_merges"] = TS.bpe_train_sql(n_merges=8)
+    o["funnel"] = funnel_sql()
+    from trianglecounting_spark.operators.linkpred import simrank_unrolled_sql
+
+    o["simrank"] = simrank_unrolled_sql(
+        "WITH " + _RECIP_E_CTES
+        + " SELECT src, dst FROM de WHERE src < 400 AND dst < 400",
+        iterations=3,
+    )
+
+    # --- round-5 thirteenth wave ----------------------------------------
+    o["url_snapshots"] = PG.latest_snapshot_sql(
+        "SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR) || "
+        "'.example/page/' || CAST(doc_id AS VARCHAR) AS url, "
+        "CAST(DATE '2024-01-01' + CAST(u.c * 7 AS INTEGER) AS TIMESTAMP) "
+        "AS warc_ts, "
+        "CASE WHEN doc_id % 2 = 1 THEN text || ' v' || CAST(u.c AS VARCHAR) "
+        "ELSE text END AS text "
+        "FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(c)"
+    )
     return o

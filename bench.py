@@ -362,6 +362,25 @@ def main() -> None:
             "pipeline_funnel",
             lambda: pipeline_funnel(docs).collect(),
         )
+        # round-5 twelfth wave: packing, tokenizer training, events funnel
+        from trianglecounting_spark.functions.sampling import pack_sequences
+        from trianglecounting_spark.functions.events import funnel as ev_funnel
+
+        timed_rep(
+            "pack_sequences",
+            lambda: pack_sequences(docs, seq_len=2048)
+            .agg(F.max("last_seq")).collect(),
+        )
+        timed_rep(
+            "bpe_merges_8",
+            lambda: ts.bpe_train(docs, n_merges=8).count(),
+        )
+        timed_rep(
+            "events_funnel",
+            lambda: ev_funnel(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            ).collect(),
+        )
 
     # iterative heavyweights — their own repeat count (≥2 keeps the spread)
     for _ in range(heavy_repeats):
@@ -408,6 +427,17 @@ def main() -> None:
             "trussness",
             lambda: trussness(_sampled(edges))
             .agg(F.max("trussness")).collect(),
+        )
+        # TrustRank spam mass (round-5 twelfth wave): two 5-iteration
+        # PageRank-family walks + one |V|-row join over the reciprocated
+        # directed sample
+        from trianglecounting_spark.operators.pagerank import trustrank
+
+        timed_rep(
+            "trustrank_5",
+            lambda: trustrank(
+                _recip_directed(edges), seeds=[0, 1, 2], iterations=5
+            ).agg(F.max("spam_mass")).collect(),
         )
 
     # peel-tail regime (measured once — an A/B, not a steady-state metric):

@@ -145,3 +145,73 @@ def event_transition_graph_sql(events_rel: str = "events") -> str:
         "round(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6) AS p "
         "FROM c JOIN t USING (src) ORDER BY c.src, c.dst"
     )
+
+
+def funnel(events: DataFrame,
+           steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered conversion funnel: how many users performed ``steps[0]``, then
+    ``steps[1]`` strictly after it, then ``steps[2]`` after that, … — the
+    canonical product-analytics query over an event stream.
+
+    A user completes step *i* iff events of types ``steps[0..i]`` exist at
+    strictly increasing timestamps; matching is greedy-earliest (take the
+    MIN qualifying timestamp per step), which decides existence exactly and
+    makes the per-user match unique, hence deterministic in both engines.
+
+    Output, one row per step: ``(step, event_type, n_users)`` — all counts
+    int64, no floats.
+
+    Scale: step k is one filtered scan of the (type-pruned) events plus an
+    equi-join on ``user_id`` against the step-(k−1) user table (|users| rows,
+    shrinking monotonically), then a map-side-combinable min/count — no
+    windows, no per-user event collection, hot users cost only their own
+    aggregate. With ``len(steps)`` fixed this is a constant number of
+    user-keyed shuffles regardless of corpus size.
+    """
+    out = None
+    cur = None
+    for i, st in enumerate(steps):
+        ev = events.where(F.col("event_type") == st).select(
+            "user_id", F.col("ts").alias("__ts")
+        )
+        if i == 0:
+            cur = ev.groupBy("user_id").agg(F.min("__ts").alias("t"))
+        else:
+            cur = (
+                ev.join(cur, "user_id")
+                .where(F.col("__ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("__ts").alias("t"))
+            )
+        row = cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(st).alias("event_type"),
+            "n_users",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase"),
+               events_rel: str = "events") -> str:
+    """DuckDB twin of :func:`funnel` — the same greedy-earliest step chain
+    as explicit CTEs."""
+    parts = []
+    for i, st in enumerate(steps, start=1):
+        if i == 1:
+            parts.append(
+                f"fun_s1 AS (SELECT user_id, min(ts) AS t FROM {events_rel} "
+                f"WHERE event_type = '{st}' GROUP BY user_id)"
+            )
+        else:
+            parts.append(
+                f"fun_s{i} AS (SELECT e.user_id, min(e.ts) AS t "
+                f"FROM {events_rel} e JOIN fun_s{i-1} p ON p.user_id = e.user_id "
+                f"AND e.ts > p.t WHERE e.event_type = '{st}' GROUP BY e.user_id)"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, '{st}' AS event_type, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM fun_s{i}"
+        for i, st in enumerate(steps, start=1)
+    )
+    return "WITH " + ", ".join(parts) + " " + union

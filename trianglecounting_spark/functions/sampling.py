@@ -357,3 +357,80 @@ def dsir_weights_sql(
         f"SELECT doc_id, logw, pos <= ceil({keep_frac} * n) AS selected "
         "FROM rk ORDER BY doc_id"
     )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Sequence packing — the "concatenate-and-chunk" sharding every LLM
+    training run performs last: documents are laid end-to-end in a canonical
+    order (doc_id ascending) and cut into fixed ``seq_len``-token training
+    sequences, so each doc lands at a deterministic global token offset and
+    may span several sequences (GPT-style packing; Brown et al. 2020 §2.2).
+
+    Output, one row per document::
+
+        (doc_id, n_tokens, offset,     -- exclusive global token offset
+         first_seq, last_seq,          -- sequence ids covered (NULL if empty)
+         n_seqs)                       -- sequences this doc touches
+
+    All columns are int64 — no floats anywhere, so the result is bit-portable
+    and the DuckDB twin (:func:`pack_sequences_sql`) matches by value-hash.
+
+    Scale: token counting is a narrow projection; the global offset rides
+    :func:`~trianglecounting_spark.operators.normalize.scalable_running_sum`
+    (range-partitioned sort + Arrow per-partition cumsum + a ≤#partitions-row
+    offset collect) — NEVER a single-task global window, which is the scale
+    trap in the naive ``sum() OVER (ORDER BY doc_id)`` form the oracle uses.
+    The chunk math after that is a pure narrow map. At 10¹² docs this is one
+    sort shuffle, the same envelope as any distributed sort.
+
+    No counterpart in /root/reference; the packing member of the
+    LLM-training-data family (tokenize → pack → shard).
+    """
+    from trianglecounting_spark.functions.textstats import token_count
+    from trianglecounting_spark.operators.normalize import scalable_running_sum
+
+    counted = token_count(docs)
+    summed = scalable_running_sum(
+        counted,
+        order=[F.col("doc_id").asc()],
+        value_col="n_tokens",
+        key_cols=["doc_id"],
+        out_col="offset",
+    )
+    L = int(seq_len)
+    nonempty = F.col("n_tokens") > 0
+    first_seq = F.when(nonempty, F.expr(f"offset DIV {L}")).cast("long")
+    last_seq = F.when(
+        nonempty, F.expr(f"(offset + n_tokens - 1) DIV {L}")
+    ).cast("long")
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        "offset",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        F.coalesce(last_seq - first_seq + F.lit(1), F.lit(0))
+        .cast("long")
+        .alias("n_seqs"),
+    )
+
+
+def pack_sequences_sql(seq_len: int = 2048, docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`pack_sequences` — the definitional single-window
+    form (fine in DuckDB; the Spark plan replaces the global window with the
+    distributed prefix sum)."""
+    L = int(seq_len)
+    return (
+        f"WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        f"'[A-Za-z0-9'']+')) AS BIGINT) AS n_tokens FROM {docs_rel}), "
+        "c AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "0) AS BIGINT) AS off FROM t) "
+        "SELECT doc_id, n_tokens, off AS offset, "
+        f"CASE WHEN n_tokens > 0 THEN off // {L} END AS first_seq, "
+        f"CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // {L} END AS last_seq, "
+        f"CAST(CASE WHEN n_tokens > 0 THEN "
+        f"(off + n_tokens - 1) // {L} - off // {L} + 1 ELSE 0 END "
+        "AS BIGINT) AS n_seqs "
+        "FROM c ORDER BY doc_id"
+    )

@@ -1466,3 +1466,158 @@ def unigram_lm_score_sql(docs_rel: str = "documents") -> str:
         "WHEN pos <= ceil(2 * n / 3.0) THEN 'middle' ELSE 'tail' END AS bucket "
         "FROM rk ORDER BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (tokenizer TRAINING — complements encode_docs, which
+# APPLIES a vocabulary). Sennrich et al. 2016.
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"  # symbol separator inside a word's state string; never in text
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8, min_word_count: int = 1) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus — the
+    tokenizer-TRAINING step (Sennrich, Haddow & Birch, ACL 2016) that
+    ``build_vocab``/``encode_docs`` (tokenizer application) presuppose.
+
+    Classic byte/char-pair encoding over the word-frequency table: each word
+    starts as its character sequence plus a ``</w>`` end marker; each round
+    counts adjacent symbol pairs weighted by word frequency, merges the
+    globally most frequent pair (ties broken (count desc, left asc, right
+    asc) — a unique total order, so training is deterministic), and rewrites
+    every word greedily left-to-right.
+
+    Output, one row per learned merge::
+
+        (merge_rank, left_sym, right_sym, pair_count)   -- all-int64 count
+
+    The greedy left-to-right rewrite is expressed as a LEFT FOLD over the
+    symbol list in BOTH engines — Spark ``F.aggregate`` and the DuckDB
+    oracle's ``list_reduce`` (:func:`bpe_train_sql`) run the same
+    accumulator ("if the state string's last symbol is *left* and the next
+    is *right*, extend in place; else append"), so the two implementations
+    agree symbol-for-symbol, including the overlapping-pair case
+    (``a a a a a`` → ``aa aa a``) that a naive string ``replace`` gets wrong.
+
+    Scale: training runs on the DISTINCT-WORD table (Heaps' law: ~10⁷ rows
+    for a 10¹² -token corpus — tiny next to the corpus itself), built with
+    one explode + one map-side-combined count. Each round is (a) a narrow
+    pair-explode + combinable count over that table, (b) a 1-row top-1
+    collect (TakeOrdered — no global sort materialized), (c) a narrow fold
+    rewrite, checkpointed per round so round k's plan never replays rounds
+    1..k-1. Driver memory holds ``n_merges`` rows. The state strings shrink
+    monotonically. No floats anywhere.
+
+    No counterpart in /root/reference; the tokenizer-training member of the
+    LLM-training-data family.
+    """
+    from trianglecounting_spark.plans.cache import release_ids, tracked_checkpoint
+
+    spark = docs.sparkSession
+    sep = F.lit(_BPE_SEP)
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= int(min_word_count))
+    )
+    state = words.select(
+        "n",
+        F.concat(
+            F.concat_ws(_BPE_SEP, F.split(F.col("word"), "")),
+            sep,
+            F.lit("</w>"),
+        ).alias("syms"),
+    )
+    state, prev_ids = tracked_checkpoint(state)
+
+    rows: list[tuple[int, str, str, int]] = []
+    for k in range(1, int(n_merges) + 1):
+        toks = F.split("syms", _BPE_SEP)
+        sz = F.size(toks)
+        pairs = state.select(
+            "n",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, sz - 1).alias("l"),
+                    F.slice(toks, 2, sz - 1).alias("r"),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        rows.append((k, l, r, cnt))
+        lft, rgt = F.lit(l), F.lit(r)
+        folded = F.aggregate(
+            F.slice(toks, 2, sz - 1),
+            F.element_at(toks, 1),
+            lambda acc, x: F.when(
+                ((acc == lft) | acc.endswith(F.concat(sep, lft))) & (x == rgt),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, sep, x)),
+        )
+        state = state.select("n", folded.alias("syms"))
+        state, new_ids = tracked_checkpoint(state)
+        release_ids(spark, prev_ids)
+        prev_ids = new_ids
+    release_ids(spark, prev_ids)
+    return spark.createDataFrame(
+        rows, "merge_rank long, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_train_sql(n_merges: int = 8, min_word_count: int = 1,
+                  docs_rel: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_train`: the identical training loop
+    unrolled — per round, pair counts from ``list_zip(toks, toks[2:])``, the
+    (count desc, left asc, right asc) argmax, and the greedy left-to-right
+    rewrite as the SAME left fold via ``list_reduce``."""
+    toks = "regexp_extract_all(lower(text), '[A-Za-z0-9'']+')"
+    parts = [
+        f"WITH bpe_words AS MATERIALIZED (SELECT word, "
+        f"CAST(count(*) AS BIGINT) AS n FROM "
+        f"(SELECT unnest({toks}) AS word FROM {docs_rel}) "
+        f"GROUP BY word HAVING count(*) >= {int(min_word_count)})",
+        "bpe_w0 AS MATERIALIZED (SELECT n, "
+        "array_to_string(string_split(word, ''), chr(31)) || chr(31) || '</w>' "
+        "AS syms FROM bpe_words)",
+    ]
+    for k in range(1, int(n_merges) + 1):
+        parts.append(
+            f"bpe_p{k} AS MATERIALIZED (SELECT u.p[1] AS l, u.p[2] AS r, "
+            f"CAST(sum(n) AS BIGINT) AS cnt FROM "
+            f"(SELECT n, string_split(syms, chr(31)) AS tk FROM bpe_w{k-1}) t, "
+            f"unnest(list_zip(tk[1:length(tk)-1], tk[2:])) AS u(p) "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"bpe_m{k} AS MATERIALIZED (SELECT CAST({k} AS BIGINT) AS merge_rank, "
+            f"l, r, cnt FROM bpe_p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        parts.append(
+            f"bpe_w{k} AS MATERIALIZED (SELECT t.n, "
+            f"list_reduce(string_split(t.syms, chr(31)), "
+            f"(acc, x) -> CASE WHEN (acc = m.l OR "
+            f"ends_with(acc, chr(31) || m.l)) AND x = m.r "
+            f"THEN acc || x ELSE acc || chr(31) || x END) AS syms "
+            f"FROM bpe_w{k-1} t CROSS JOIN bpe_m{k} m)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count "
+        f"FROM bpe_m{k}"
+        for k in range(1, int(n_merges) + 1)
+    )
+    return ", ".join(parts) + f" SELECT * FROM ({union}) ORDER BY merge_rank"

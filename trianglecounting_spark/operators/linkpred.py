@@ -246,3 +246,112 @@ def bibliographic_coupling_sql(directed_ctes: str, rel: str = "de",
         f"FROM {rel} x JOIN {rel} y ON y.dst = x.dst AND x.src < y.src "
         f"GROUP BY x.src, y.src HAVING count(*) >= {min_common}"
     )
+
+
+def simrank(directed_edges: DataFrame, iterations: int = 3, c: float = 0.8,
+            state_digits: int = 9, out_digits: int = 6) -> DataFrame:
+    """SimRank (Jeh & Widom, KDD 2002) — "two pages are similar if they are
+    linked-to by similar pages": the in-link recursive companion of
+    co-citation (which is exactly SimRank's first iteration, unnormalized).
+
+        s(a,a) = 1
+        s(a,b) = c / (|I(a)|·|I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i, j)
+
+    Fixed ``iterations`` rounds from s₀ = identity, as in the paper; pairs
+    with no common ancestry stay absent (sparse pair-state, never the dense
+    n² matrix). Output: ``(a, b, score)`` for a ≠ b with score > 0, both
+    orientations (the definitional symmetric relation), floats at
+    ``out_digits``.
+
+    Engine-parity contract: the pair state is ROUNDED to ``state_digits``
+    every round in BOTH engines (here and :func:`simrank_unrolled_sql`), so
+    each round starts from identical doubles and float-summation order can
+    only perturb ~1e-16·|I| per round — never near a 6dp output boundary.
+
+    Scale: each round is two src-keyed equi-joins of the pair state against
+    the (deduplicated) edge table plus one (a, b)-keyed aggregate — the
+    state is the classic SimRank quadratic cost, which is why web-scale
+    deployments truncate (top-k per vertex / threshold pruning); this exact
+    form is meant for bounded similarity subgraphs (the sampled reciprocated
+    web sample in the contract row), and the joins themselves are plain
+    shuffles AQE handles. Per-round checkpoint keeps lineage flat.
+    """
+    from trianglecounting_spark.plans.cache import release_ids, tracked_checkpoint
+
+    spark = directed_edges.sparkSession
+    e = directed_edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    diag = verts.select(
+        F.col("v").alias("a"), F.col("v").alias("b"), F.lit(1.0).alias("s")
+    )
+    state = diag
+    prev_ids: set[int] = set()
+    for _ in range(int(iterations)):
+        t = (
+            state.join(e.select(F.col("src").alias("a"),
+                                F.col("dst").alias("na")), "a")
+            .join(e.select(F.col("src").alias("b"),
+                           F.col("dst").alias("nb")), "b")
+            .groupBy(F.col("na").alias("a"), F.col("nb").alias("b"))
+            .agg(F.sum("s").alias("t"))
+        )
+        scored = (
+            t.where(F.col("a") != F.col("b"))
+            .join(indeg.select(F.col("dst").alias("a"),
+                               F.col("ind").alias("ia")), "a")
+            .join(indeg.select(F.col("dst").alias("b"),
+                               F.col("ind").alias("ib")), "b")
+            .select(
+                "a", "b",
+                F.round(
+                    F.lit(float(c)) * F.col("t") / (F.col("ia") * F.col("ib")),
+                    int(state_digits),
+                ).alias("s"),
+            )
+        )
+        state = scored.unionAll(diag)
+        state, new_ids = tracked_checkpoint(state)
+        release_ids(spark, prev_ids)
+        prev_ids = new_ids
+    out = state.where(
+        (F.col("a") != F.col("b")) & (F.col("s") > 0)
+    ).select("a", "b", F.round("s", int(out_digits)).alias("score"))
+    return out
+
+
+def simrank_unrolled_sql(edges_sql: str, iterations: int = 3, c: float = 0.8,
+                         state_digits: int = 9, out_digits: int = 6) -> str:
+    """DuckDB oracle for :func:`simrank` — the identical rounds unrolled,
+    with the same per-round ``state_digits`` rounding."""
+    parts = [
+        f"WITH sre AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "srverts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM sre UNION ALL SELECT dst FROM sre))",
+        "srind AS MATERIALIZED (SELECT dst, count(*) AS ind FROM sre GROUP BY dst)",
+        "srs0 AS MATERIALIZED (SELECT v AS a, v AS b, 1.0 AS s FROM srverts)",
+    ]
+    for k in range(1, int(iterations) + 1):
+        parts.append(
+            f"srt{k} AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b, "
+            f"sum(p.s) AS t FROM srs{k-1} p "
+            f"JOIN sre e1 ON e1.src = p.a JOIN sre e2 ON e2.src = p.b "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"srs{k} AS MATERIALIZED (SELECT t.a, t.b, "
+            f"round({float(c)!r} * t.t / (ia.ind * ib.ind), {int(state_digits)}) AS s "
+            f"FROM srt{k} t JOIN srind ia ON ia.dst = t.a "
+            f"JOIN srind ib ON ib.dst = t.b WHERE t.a <> t.b "
+            "UNION ALL SELECT v, v, 1.0 FROM srverts)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT a, b, round(s, {int(out_digits)}) AS score "
+        f"FROM srs{iterations} WHERE a <> b AND s > 0"
+    )

@@ -928,3 +928,76 @@ def katz_centrality_unrolled_sql(
         + f" SELECT verts.v, round({folded}, {ndigits}) AS katz "
         f"FROM verts {joins} ORDER BY verts.v"
     )
+
+
+def trustrank(
+    directed_edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TrustRank + relative spam mass (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004; Gyöngyi et al., VLDB 2006) — the classic web-spam-demotion
+    pair: trust flows from a hand-reviewed seed whitelist along out-links
+    (a seed-personalized PageRank walk), and a page's *relative spam mass*
+    ``(PR(v) − TR(v)) / PR(v)`` estimates how much of its PageRank arrives
+    from spam-like (untrusted) sources — near 1 for pages ranked by link
+    farms, near 0 (or negative) for pages endorsed by the trusted core.
+
+    Composition of the two walks this module already proves:
+    :func:`pagerank_directed` (uniform teleport + dangling redistribution)
+    and :func:`personalized_pagerank` (seed teleport; dangling mass returns
+    to the seeds) — both rounded at 6dp first, so spam mass divides the same
+    doubles both engines print, making the quotient bit-portable. Vertices
+    whose 6dp PageRank rounds to zero get NULL spam mass (at web scale the
+    teleport floor (1−d)/N keeps PR(v) ≥ 1.5·10⁻⁷/page only while N < 10⁶ —
+    the NULL convention is the honest report, not a sentinel zero).
+
+    Output: ``(v, pr_score, trust_score, spam_mass)``, floats at 6dp.
+
+    Scale: exactly two PageRank-family runs (each: cached pre-partitioned
+    edge side, |V|-row rank shuffles, per-iteration checkpoint) plus ONE
+    |V|-row equi-join — nothing new beyond the proven loops.
+    """
+    pr = pagerank_directed(directed_edges, iterations=iterations,
+                           damping=damping).select(
+        "v", F.round("score", 6).alias("pr_score")
+    )
+    tr = personalized_pagerank(directed_edges, seeds=seeds,
+                               iterations=iterations, damping=damping).select(
+        "v", F.round("score", 6).alias("trust_score")
+    )
+    return pr.join(tr, "v").select(
+        "v",
+        "pr_score",
+        "trust_score",
+        F.when(
+            F.col("pr_score") > 0,
+            F.round(
+                (F.col("pr_score") - F.col("trust_score")) / F.col("pr_score"),
+                6,
+            ),
+        ).alias("spam_mass"),
+    )
+
+
+def trustrank_unrolled_sql(edges_sql: str, seeds: list[int],
+                           iterations: int = 10, damping: float = 0.85,
+                           ndigits: int = 6) -> str:
+    """DuckDB oracle for :func:`trustrank` — nests the two existing unrolled
+    walks (each carries its own WITH chain, scoped inside its CTE) and joins
+    them with the identical rounded-first spam-mass expression."""
+    pr_sql = pagerank_directed_unrolled_sql(edges_sql, iterations=iterations,
+                                            damping=damping, ndigits=ndigits)
+    tr_sql = personalized_pagerank_unrolled_sql(edges_sql, seeds=seeds,
+                                                iterations=iterations,
+                                                damping=damping,
+                                                ndigits=ndigits)
+    return (
+        f"WITH trk_pr AS MATERIALIZED ({pr_sql}), "
+        f"trk_tr AS MATERIALIZED ({tr_sql}) "
+        "SELECT p.v, p.score AS pr_score, t.score AS trust_score, "
+        f"CASE WHEN p.score > 0 THEN round((p.score - t.score) / p.score, "
+        f"{ndigits}) END AS spam_mass "
+        "FROM trk_pr p JOIN trk_tr t ON t.v = p.v ORDER BY p.v"
+    )

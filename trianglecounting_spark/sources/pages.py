@@ -272,3 +272,57 @@ def host_weighted_edges(pages: DataFrame) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.sum("w").cast("long").alias("w"))
     )
+
+
+def latest_snapshot(pages: DataFrame) -> DataFrame:
+    """Snapshot consolidation — the per-URL latest-capture dedup every
+    Common-Crawl-style corpus performs before anything else: a crawl table
+    holds MANY captures of the same url at different ``warc_ts`` (the input
+    contract's timestamp column exists precisely for this), and downstream
+    stages want exactly one row per url — the newest — plus churn statistics
+    (how often was it re-crawled, did its text actually change).
+
+    Output, one row per distinct url::
+
+        (url,
+         n_captures,     -- captures observed           (int64)
+         n_versions,     -- DISTINCT text fingerprints  (int64)
+         latest_epoch,   -- epoch seconds of max(warc_ts), int64
+         latest_fp)      -- md5 of the newest capture's text
+
+    ``n_versions > 1`` is the "content churned" signal; ``n_captures -
+    n_versions`` captures are byte-identical re-crawls a training corpus
+    drops for free.
+
+    Scale: ONE url-keyed hash aggregate — count / max / ``max_by`` are all
+    map-side combinable, and the exact distinct runs per key (never a global
+    distinct). No window, no per-url capture collection: a url with 10⁵
+    captures costs only its own aggregate buffer. At 10¹² rows this is the
+    same single-shuffle envelope as any groupBy, and AQE's skew split
+    handles hot urls. ``max_by`` is deterministic here because ``warc_ts``
+    is unique per url within a crawl table (WARC records are
+    timestamp-keyed); ties would need a (warc_ts, fp) struct-max instead.
+
+    No counterpart in /root/reference (no text layer); the snapshot member
+    of the web-corpus family (north_star's Common-Crawl framing).
+    """
+    fp = F.md5(F.col("text"))
+    return pages.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.countDistinct(fp).cast("long").alias("n_versions"),
+        F.unix_timestamp(F.max("warc_ts")).cast("long").alias("latest_epoch"),
+        F.max_by(fp, F.col("warc_ts")).alias("latest_fp"),
+    )
+
+
+def latest_snapshot_sql(pages_sql: str) -> str:
+    """DuckDB twin of :func:`latest_snapshot` over the same captures
+    relation (columns url, warc_ts, text)."""
+    return (
+        f"WITH snap_p AS ({pages_sql}) "
+        "SELECT url, CAST(count(*) AS BIGINT) AS n_captures, "
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_versions, "
+        "CAST(epoch(max(warc_ts)) AS BIGINT) AS latest_epoch, "
+        "arg_max(md5(text), warc_ts) AS latest_fp "
+        "FROM snap_p GROUP BY url"
+    )
