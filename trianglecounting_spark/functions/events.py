@@ -183,6 +183,10 @@ def funnel(events: DataFrame,
                 .groupBy("user_id")
                 .agg(F.min("__ts").alias("t"))
             )
+        # lazy localCheckpoint: step k's table is referenced by its own count
+        # AND by step k+1's join — without it each step re-evaluates the full
+        # chain of previous steps (O(len(steps)²) scans of the event table)
+        cur = cur.localCheckpoint(eager=False)
         row = cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
             F.lit(i + 1).cast("long").alias("step"),
             F.lit(st).alias("event_type"),

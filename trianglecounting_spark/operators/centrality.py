@@ -40,9 +40,16 @@ from trianglecounting_spark.plans.cache import (
 
 
 def betweenness_pivots(edges: DataFrame, n_pivots: int = 16,
-                       max_depth: int = 16) -> DataFrame:
+                       max_depth: int = 16,
+                       broadcast_rows: int = 8_000_000) -> DataFrame:
     """Pivot-subset betweenness. Output ``(v, bc)`` for every vertex of the
-    (symmetrized) graph, bc = Σ_pivots δ_pivot(v), rounded to 6dp."""
+    (symmetrized) graph, bc = Σ_pivots δ_pivot(v), rounded to 6dp.
+
+    The per-level (src, v) state tables are ≤ n_pivots·|V| rows — broadcast
+    into the adjacency joins while that bound fits ``broadcast_rows``
+    (size-aware; shuffle joins at web scale), so each BFS/backward level is
+    a narrow pass over the cached symmetric edge table plus one aggregate
+    exchange instead of sort-merge-joining the edge table per level."""
     spark = edges.sparkSession
     adj, adj_ids = tracked_checkpoint(
         edges.select("u", "v").unionAll(
@@ -50,6 +57,11 @@ def betweenness_pivots(edges: DataFrame, n_pivots: int = 16,
         )
     )
     verts = adj.select(F.col("u").alias("v")).distinct()
+    small = n_pivots * verts.count() <= broadcast_rows
+
+    def _bc(df):
+        return F.broadcast(df) if small else df
+
     pivots = verts.orderBy("v").limit(n_pivots).select(F.col("v").alias("src"))
 
     # ---- forward: levels (src, v, d, sigma) ----
@@ -66,10 +78,10 @@ def betweenness_pivots(edges: DataFrame, n_pivots: int = 16,
     depth = 0
     for l in range(1, max_depth + 1):
         nxt_plan = (
-            frontier.join(adj, frontier["v"] == adj["u"])
+            adj.join(_bc(frontier), frontier["v"] == adj["u"])
             .select("src", adj["v"].alias("w"), "sigma")
             .join(
-                visited.select("src", F.col("v").alias("w"), F.lit(1).alias("__seen")),
+                _bc(visited.select("src", F.col("v").alias("w"), F.lit(1).alias("__seen"))),
                 ["src", "w"],
                 "left",
             )
@@ -111,8 +123,9 @@ def betweenness_pivots(edges: DataFrame, n_pivots: int = 16,
             "src", "v", F.col("sigma").alias("sv")
         )
         contrib = (
-            lv.join(adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
-            .join(up, ["src", "w"])
+            adj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+            .join(_bc(lv), "v")
+            .join(_bc(up), ["src", "w"])
             .groupBy("src", "v")
             .agg(F.sum(F.col("sv") / F.col("sw") * (F.lit(1.0) + F.col("dw"))).alias("delta"))
         )

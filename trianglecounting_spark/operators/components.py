@@ -30,15 +30,19 @@ from trianglecounting_spark.plans.checkpoint import IterationCheckpointer
 from trianglecounting_spark.plans.tuning import iteration_partitions, scoped_shuffle_partitions
 
 
-def _large_star(sym: DataFrame) -> DataFrame:
+def _large_star(sym: DataFrame, bc=None) -> DataFrame:
     """Symmetric edge table (src,dst) → edges (v, m) for every nbr v > src.
 
     No dedup here: the only consumer is ``_small_star``, whose min-aggregate
     is duplicate-insensitive and whose own output IS deduped — dropping the
-    distinct saves one full shuffle per round."""
+    distinct saves one full shuffle per round. ``bc``: optional wrapper that
+    broadcasts the ≤|V|-row star-minimum table into the re-point join
+    (size-aware at the caller; identity at web scale)."""
     mins = sym.groupBy("src").agg(
         F.least(F.col("src"), F.min("dst")).alias("m")
     )
+    if bc is not None:
+        mins = bc(mins)
     return (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
@@ -46,12 +50,13 @@ def _large_star(sym: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, bc=None) -> DataFrame:
     """Parent-pointer edges (src > dst) → re-point src and all its children
     at the minimum of the star."""
     mins = edges.groupBy("src").agg(F.least(F.col("src"), F.min("dst")).alias("m"))
+    bmins = bc(mins) if bc is not None else mins
     repoint_children = (
-        edges.join(mins, "src")
+        edges.join(bmins, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
     repoint_self = mins.select(F.col("src"), F.col("m").alias("dst"))
@@ -64,18 +69,25 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     checkpointer: IterationCheckpointer | None = None,
+    broadcast_rows: int = 8_000_000,
 ) -> DataFrame:
     """Exact connected components of the canonical (u<v) edge table.
 
     Output: ``(v: long, component: long)`` for every vertex that appears in an
     edge; component = min vertex id of the component. Isolated vertices don't
     appear in an edge table, so they label themselves trivially upstream.
+
+    The per-round star-minimum tables are ≤|V| rows — broadcast into the
+    re-point joins while |V| fits ``broadcast_rows`` (size-aware; plain
+    shuffle joins at web scale where |V| does not fit an executor).
     """
     spark = edges.sparkSession
     vertices = (
         edges.select(F.explode(F.array("u", "v")).alias("v")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_v = vertices.count()
+    bc = (lambda df: F.broadcast(df)) if n_v <= broadcast_rows else None
     cur = undirect(edges).distinct()
     start = 0
     if checkpointer is not None:
@@ -92,11 +104,11 @@ def connected_components(
             sym = cur.unionAll(
                 cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            after_large = _large_star(sym)
+            after_large = _large_star(sym, bc=bc)
             # tracked localCheckpoint (eager) truncates lineage — without it
             # each round's plan contains all previous rounds and planning grows
             # superlinearly — and lets us release round k-1's blocks on time.
-            after_small, next_ids = tracked_checkpoint(_small_star(after_large))
+            after_small, next_ids = tracked_checkpoint(_small_star(after_large, bc=bc))
             # Fixpoint check: both sides are distinct sets, so equal size +
             # zero rows missing from `cur` ⇒ equal sets. The size probe is a
             # near-free count on the just-materialized checkpoint; the

@@ -183,7 +183,25 @@ def kcore_incremental(
     return e_state
 
 
-def coreness(edges: DataFrame, max_iterations: int = 200) -> DataFrame:
+def _h_index_agg(values_col: str) -> F.Column:
+    """Sort-free (no window) h-index of a group's values as ONE aggregate
+    expression: with the multiset sorted descending, H = #{i : a_i ≥ i}
+    (1-based) — the classic prefix characterization, equal to
+    max_i min(i, a_i) because {i : a_i ≥ i} is a prefix of a non-increasing
+    sequence. The per-group array sort happens inside the hash aggregate
+    (bounded by the group's degree), replacing a full partition-wide
+    window sort; ties need no tiebreak — H is order-independent."""
+    arr = F.reverse(F.array_sort(F.collect_list(F.col(values_col))))
+    return F.size(
+        F.filter(arr, lambda x, i: x >= (i + F.lit(1)).cast("long"))
+    ).cast("long")
+
+
+def coreness(
+    edges: DataFrame,
+    max_iterations: int = 200,
+    broadcast_rows: int = 8_000_000,
+) -> DataFrame:
     """Per-vertex core number ``(v, coreness)`` via the distributed h-index
     fixpoint (Lü et al., "The H-index of a network node", Nature Comms 2016):
 
@@ -195,42 +213,126 @@ def coreness(edges: DataFrame, max_iterations: int = 200) -> DataFrame:
     per k. Absent from the reference (a TC engine, no vertex hierarchy);
     added for the link-graph suite (web-spam / importance tiers).
 
-    Plan shape per round: one shuffle join (adjacency ⋈ h on the neighbor
-    id) + one per-vertex window sort + one aggregate — all Column
-    expressions, integer-exact, so partitioning-invariant. The h-index of a
-    multiset is order-independent under ties, so the row_number tiebreak
-    never changes the result. Convergence is detected on sum(h), which
-    strictly decreases every non-fixpoint round (exact int64 — no epsilon).
-    The static adjacency stays persisted across rounds; the h state is
-    checkpointed per round (eager localCheckpoint, tracked) so no action
-    replays lineage.
+    Physical plan (round-6 rewrite — same integers, same recurrence, the
+    round structure re-expressed per guide §8 "decide with small rows,
+    keep big rows in place"):
 
-    Scale: per-round cost is one |2E| join + window — the same shape as
-    adjacency materialization; rounds needed is small in practice (≤ ~20 on
-    web-like graphs; bounded by the longest strictly-decreasing h chain).
+    * ``|V| ≤ broadcast_rows`` (size-guarded small regime — the same
+      driver-byte budget contract as the triangle kernel's hub CSR): the
+      symmetric adjacency is grouped ONCE into Arrow list rows and
+      cached; the |V|-row h state lives as two numpy arrays, broadcast
+      each round, and a round is ONE narrow ``mapInArrow`` pass that maps
+      every neighbor id to its h (vectorized ``searchsorted``) and
+      computes every vertex's H with one segment-sorted prefix count —
+      zero joins, zero exchanges, zero per-round checkpoints; the 2|E|
+      neighbor volume never moves again after the one grouping shuffle.
+      The |V|-row per-round collect is bounded by the same budget that
+      bounds the broadcast (precedent: ``_select_hub_csr``'s flat-CSR
+      ``toPandas``).
+    * otherwise (web scale, |V| not driver-boundable): per-round shuffle
+      join of adjacency against the h state + one hash aggregate with
+      ``_h_index_agg`` — an in-group array sort instead of the previous
+      partition-wide ``row_number`` window sort — with the h state
+      checkpointed per round (tracked, file barrier every
+      ``_BARRIER_EVERY``).
+
+    Both regimes run the identical integer recurrence to the identical
+    fixpoint (H is tie-order-independent), so results are regime- and
+    partitioning-invariant.
     """
-    spark = edges.sparkSession
-    from pyspark.sql import Window
+    import numpy as np
 
-    adj, adj_ids = tracked_checkpoint(
-        edges.select("u", "v").unionAll(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+    spark = edges.sparkSession
+    adj_plan = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    adj, adj_ids = tracked_checkpoint(adj_plan)
     h, h_ids = tracked_checkpoint(
         adj.groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("h"))
         .select(F.col("u").alias("v"), "h")
     )
+    n_v = h.count()
+
+    if n_v <= broadcast_rows:
+        # ---- small regime: driver-held state, one narrow pass per round ----
+        grouped, grouped_ids = tracked_checkpoint(
+            adj.groupBy(F.col("u").alias("src")).agg(
+                F.collect_list("v").alias("nbrs")
+            )
+        )
+        h_pdf = h.orderBy("v").toPandas()
+        release_ids(spark, adj_ids | h_ids)
+        ids = h_pdf["v"].to_numpy(dtype=np.int64)
+        hvals = h_pdf["h"].to_numpy(dtype=np.int64)
+        sc = spark.sparkContext
+        for _ in range(max_iterations):
+            h_bc = sc.broadcast((ids, hvals))
+
+            def _round(batches, _bc=h_bc):
+                import pyarrow as pa
+
+                b_ids, b_h = _bc.value
+                for rb in batches:
+                    if rb.num_rows == 0:
+                        continue
+                    srcs = rb.column("src").to_numpy(zero_copy_only=False)
+                    nb = rb.column("nbrs")
+                    offs = np.asarray(nb.offsets).astype(np.int64, copy=False)
+                    # a sliced ListArray's offsets need not start at 0 —
+                    # normalize to the window this batch actually covers
+                    vals = nb.values.to_numpy(zero_copy_only=False)[
+                        offs[0] : offs[-1]
+                    ]
+                    offs = offs - offs[0]
+                    nh = b_h[np.searchsorted(b_ids, vals)]
+                    lens = np.diff(offs)
+                    rows = np.repeat(np.arange(len(srcs), dtype=np.int64), lens)
+                    # per-row descending h, then the prefix count #{i: a_i>=i}
+                    order = np.lexsort((-nh, rows))
+                    snh = nh[order]
+                    pos = np.arange(len(snh), dtype=np.int64) - np.repeat(
+                        offs[:-1], lens
+                    )
+                    flags = (snh >= pos + 1).astype(np.int64)
+                    starts = offs[:-1][lens > 0]
+                    hh = np.zeros(len(srcs), dtype=np.int64)
+                    if len(starts):
+                        hh[lens > 0] = np.add.reduceat(flags, starts)
+                    yield pa.RecordBatch.from_pydict(
+                        {
+                            "v": pa.array(srcs, pa.int64()),
+                            "h": pa.array(hh, pa.int64()),
+                        }
+                    )
+
+            out = (
+                grouped.mapInArrow(_round, schema="v long, h long")
+                .toPandas()
+                .sort_values("v")
+            )
+            new_hvals = out["h"].to_numpy(dtype=np.int64)
+            h_bc.unpersist()
+            if np.array_equal(new_hvals, hvals):
+                break
+            hvals = new_hvals
+        release_ids(spark, grouped_ids)
+        import pandas as pd
+
+        res = spark.createDataFrame(
+            pd.DataFrame({"v": ids, "coreness": hvals}),
+            schema="v long, coreness long",
+        )
+        return res
+
+    # ---- large regime: per-round shuffle join + sort-free H aggregate ----
     total = h.agg(F.sum("h")).collect()[0][0]
-    hn_cols = [F.col("v").alias("__nbr"), F.col("h").alias("__nh")]
-    w = Window.partitionBy("u").orderBy(F.col("__nh").desc(), F.col("v").asc())
     for it in range(1, max_iterations + 1):
+        hn = h.select(F.col("v").alias("__nbr"), F.col("h").alias("__nh"))
         new_plan = (
-            adj.join(h.select(*hn_cols), F.col("v") == F.col("__nbr"))
-            .withColumn("__rnk", F.row_number().over(w).cast("long"))
+            adj.join(hn, F.col("v") == F.col("__nbr"))
             .groupBy("u")
-            .agg(F.max(F.least(F.col("__rnk"), F.col("__nh"))).alias("h"))
+            .agg(_h_index_agg("__nh").alias("h"))
             .select(F.col("u").alias("v"), "h")
         )
         before = persistent_rdd_ids(spark)

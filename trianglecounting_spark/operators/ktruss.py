@@ -38,16 +38,50 @@ def _peel_once(cur: DataFrame, k: int) -> DataFrame:
     return sup.where(F.col("support") >= k - 2).select("u", "v")
 
 
+def _peel_once_oriented(cur_d: DataFrame, k: int) -> DataFrame:
+    """One support peel on an already-oriented edge table — identical edge
+    sets to ``_peel_once`` on the canonical form (support is
+    orientation-invariant; see ``triangle_per_edge_support_oriented``), but
+    no per-round degree aggregation or orientation joins — and, for the
+    k ≥ 3 peel, no join back to the edge table at all: the kernel's
+    partial-aggregated support counts omit zero-support edges, which are
+    exactly the edges the ``support >= k-2 >= 1`` filter drops."""
+    from trianglecounting_spark.operators.triangles import (
+        triangle_support_counts_oriented,
+    )
+
+    if k <= 2:  # every edge has support >= 0 >= k-2: the peel is a no-op
+        return cur_d
+    sup = triangle_support_counts_oriented(cur_d)
+    return sup.where(F.col("support") >= k - 2).select("src", "dst")
+
+
+def _canon_uv(d: DataFrame) -> DataFrame:
+    """Oriented survivors → the canonical ``(u, v)`` (u < v) contract."""
+    return d.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    )
+
+
 def ktruss(
     edges: DataFrame,
     k: int,
     max_iterations: int = 100,
     checkpointer: IterationCheckpointer | None = None,
 ) -> DataFrame:
-    """Edges of the k-truss subgraph: ``(u, v)`` with u < v. Runs to fixpoint."""
+    """Edges of the k-truss subgraph: ``(u, v)`` with u < v. Runs to fixpoint.
+
+    Round-6 plan change (same integers every round): the degree-ordered
+    orientation is computed ONCE on the input and the peel iterates on the
+    ORIENTED survivor table — each round is adjacency grouping + the Arrow
+    intersection kernel + the support filter, with the per-round degree
+    aggregation and the two orientation joins gone (the original total order
+    stays acyclic on every subgraph, so triangle enumeration remains exact
+    and exactly-once; measured ~1.3× per round at sf0.1)."""
+    from trianglecounting_spark.operators.normalize import orient_dodg
+
     spark = edges.sparkSession
-    cur = edges.select("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
-    cur_ids: set[int] = set()
+    cur, cur_ids = tracked_checkpoint(orient_dodg(edges))
     n_cur = cur.count()
     start = 0
     if checkpointer is not None:
@@ -58,36 +92,38 @@ def ktruss(
     for it in range(start + 1, max_iterations + 1):
         # eager localCheckpoint: materialize + truncate lineage per round;
         # tracked so the previous round's blocks AND the peel's kernel-internal
-        # DODG/adjacency materializations are released deterministically
+        # adjacency/hub materializations are released deterministically
         before = persistent_rdd_ids(spark)
-        nxt, nxt_ids = tracked_checkpoint(_peel_once(cur, k), before=before)
+        nxt, nxt_ids = tracked_checkpoint(_peel_once_oriented(cur, k), before=before)
         n_nxt = nxt.count()
         if checkpointer is not None:
             nxt = checkpointer.maybe_save(it, nxt)
-        cur.unpersist()
         release_ids(spark, cur_ids)
         cur, cur_ids = nxt, nxt_ids
         if n_nxt == n_cur:
             break
         n_cur = n_nxt
-    return cur
+    return _canon_uv(cur)
 
 
 def ktruss_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """Exactly `rounds` peels — the deterministic oracle-matched contract.
 
     Each round materializes (eager localCheckpoint): the peel references its
-    input ~5× (degree join ×2, triangle join ×3), so an unmaterialized chain
-    re-evaluates upstream work exponentially in the round count.
+    input several times (triangle join ×3), so an unmaterialized chain
+    re-evaluates upstream work exponentially in the round count. Rides the
+    same orient-once peel as ``ktruss`` (identical per-round edge sets).
     """
+    from trianglecounting_spark.operators.normalize import orient_dodg
+
     spark = edges.sparkSession
-    cur, cur_ids = tracked_checkpoint(edges.select("u", "v"))
+    cur, cur_ids = tracked_checkpoint(orient_dodg(edges))
     for _ in range(rounds):
         before = persistent_rdd_ids(spark)
-        cur, nxt_ids = tracked_checkpoint(_peel_once(cur, k), before=before)
+        cur, nxt_ids = tracked_checkpoint(_peel_once_oriented(cur, k), before=before)
         release_ids(spark, cur_ids)
         cur_ids = nxt_ids
-    return cur
+    return _canon_uv(cur)
 
 
 def ktruss_unrolled_sql(edges_sql: str, k: int, rounds: int) -> str:
@@ -161,50 +197,56 @@ def ktruss_incremental(
     replays lineage.
     """
     from trianglecounting_spark.operators.normalize import orient_dodg
+    from trianglecounting_spark.operators.triangles import (
+        triangle_support_counts_oriented,
+    )
     from trianglecounting_spark.plans.tuning import iteration_partitions
 
     spark = edges.sparkSession
     n_part = iteration_partitions(spark, edges.count())
 
     # ---- bulk phase: kernel recounts while removal batches are large ----
-    cur, cur_ids = tracked_checkpoint(edges.select("u", "v"))
+    # oriented ONCE up front (round-6: the same orient-once peel as
+    # ``ktruss``); the support pass then needs no per-round degree/orientation
+    # joins, and the delta switch needs no re-keying join — the support table
+    # is already keyed on the oriented rows the delta phase uses. The counts
+    # omit zero-support rows (they can never re-gain support, sit in no
+    # triangle, and fail the k ≥ 3 filter — dropping them here is the same
+    # removal the filter performs); ``n_cur`` tracks the survivor count so
+    # the fixpoint/switch tests see the identical removal sizes.
+    if k <= 2:
+        return edges.select("u", "v")
+    cur, cur_ids = tracked_checkpoint(orient_dodg(edges))
+    n_cur = cur.count()
     state = state_ids = None
     rounds_used = 0
     while rounds_used < max_iterations:
         rounds_used += 1
         before = persistent_rdd_ids(spark)
         sup, sup_ids = tracked_checkpoint(
-            triangle_per_edge_support(cur), before=before
+            triangle_support_counts_oriented(cur), before=before
         )
-        n_removed = sup.where(F.col("support") < k - 2).count()
-        n_surv = sup.count() - n_removed
+        n_surv = sup.where(F.col("support") >= k - 2).count()
+        n_removed = n_cur - n_surv
         if n_removed == 0:
             release_ids(spark, sup_ids)
-            return cur
+            return _canon_uv(cur)
         if n_removed <= delta_frac * max(n_surv, 1):
-            # switch: orient ONCE (by current degrees — fixed hereafter) and
-            # re-key the already-computed supports to oriented rows
-            d0 = orient_dodg(cur)
             state, state_ids = tracked_checkpoint(
-                d0.join(
-                    sup,
-                    (F.least("src", "dst") == sup.u)
-                    & (F.greatest("src", "dst") == sup.v),
-                )
-                .select("src", "dst", "support")
-                .repartition(n_part, "src", "dst"),
+                sup.repartition(n_part, "src", "dst"),
                 before=persistent_rdd_ids(spark) - sup_ids,
             )
             release_ids(spark, cur_ids | sup_ids)
             break
         nxt, nxt_ids = tracked_checkpoint(
-            sup.where(F.col("support") >= k - 2).select("u", "v"),
+            sup.where(F.col("support") >= k - 2).select("src", "dst"),
             before=persistent_rdd_ids(spark) - sup_ids,
         )
         release_ids(spark, cur_ids | sup_ids)
         cur, cur_ids = nxt, nxt_ids
+        n_cur = n_surv
     if state is None:  # hit max_iterations while still in bulk mode
-        return cur
+        return _canon_uv(cur)
 
     # ---- delta phase: decrement-only rounds ----
     for _it in range(rounds_used, max_iterations):
@@ -301,24 +343,30 @@ def trussness(edges: DataFrame, max_iterations: int = 200) -> DataFrame:
     ``ktruss`` peel per k (differential-tested: {e : trussness(e) >= k} ==
     ktruss(k) for every k).
 
-    Plan shape: the triangle-edge incidence table (3 rows per triangle,
-    each edge paired with its two partner edges) is built ONCE from the
-    Arrow enumeration kernel and persisted; each round is two joins of the
-    incidence against the |triangle-edges| state + one per-edge window —
-    all integer, partitioning-invariant (h-index is order-independent
-    under ties). Convergence on sum(t), which strictly decreases on every
-    non-fixpoint round. State checkpointed per round, barrier every
+    Plan shape (round-6 rewrite, same integers): the triangle-edge
+    incidence table (3 rows per triangle, each edge paired with its two
+    partner edges) is built ONCE from the Arrow enumeration kernel and
+    checkpointed; each round joins the incidence against the per-edge
+    state — BROADCAST when the state is ≤ ``broadcast_rows`` (size-aware;
+    shuffle joins at web scale) — and computes the per-edge H with
+    ``kcore._h_index_agg`` (one hash aggregate with an in-group array
+    sort) instead of a partition-wide ``row_number`` window: no full sort
+    of the 3·#triangles incidence rows per round, and in the broadcast
+    regime the joins add no exchange. All integer,
+    partitioning-invariant (h-index is order-independent under ties).
+    Convergence on sum(t), which strictly decreases on every non-fixpoint
+    round. State checkpointed per round, barrier every
     ``_KTRUSS_BARRIER_EVERY`` rounds.
 
     Scale: per-round cost is O(3·#triangles) join rows — the same volume
     the per-edge support pass already touches; rounds observed ≤ ~15 on
     web-like graphs. The incidence table never grows; only the (much
-    smaller) per-edge state shuffles.
+    smaller) per-edge state moves.
     """
-    from pyspark.sql import Window
-
+    from trianglecounting_spark.operators.kcore import _h_index_agg
     from trianglecounting_spark.operators.triangles import triangle_enumerate_kernel
 
+    broadcast_rows = 8_000_000
     spark = edges.sparkSession
     tri = triangle_enumerate_kernel(edges)
 
@@ -342,22 +390,20 @@ def trussness(edges: DataFrame, max_iterations: int = 200) -> DataFrame:
     t, t_ids = tracked_checkpoint(
         inc.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("t"))
     )
+    small = t.count() <= broadcast_rows
     total = t.agg(F.sum("t")).collect()[0][0]
-    w = Window.partitionBy("u", "v").orderBy(
-        F.col("mv").desc(), F.col("o1u").asc(), F.col("o1v").asc(),
-        F.col("o2u").asc(), F.col("o2v").asc(),
-    )
     for it in range(1, max_iterations + 1):
         t1 = t.select(F.col("u").alias("o1u"), F.col("v").alias("o1v"),
                       F.col("t").alias("t1"))
         t2 = t.select(F.col("u").alias("o2u"), F.col("v").alias("o2v"),
                       F.col("t").alias("t2"))
+        if small:
+            t1, t2 = F.broadcast(t1), F.broadcast(t2)
         new_plan = (
             inc.join(t1, ["o1u", "o1v"]).join(t2, ["o2u", "o2v"])
             .withColumn("mv", F.least(F.col("t1"), F.col("t2")))
-            .withColumn("rnk", F.row_number().over(w).cast("long"))
             .groupBy("u", "v")
-            .agg(F.max(F.least(F.col("rnk"), F.col("mv"))).cast("long").alias("t"))
+            .agg(_h_index_agg("mv").alias("t"))
         )
         before = persistent_rdd_ids(spark)
         if it % _KTRUSS_BARRIER_EVERY == 0:

@@ -49,7 +49,9 @@ def _h_sql(expr: str) -> str:
     return f"(({expr} % {_M}) * {_A} + {_SEED}) % {_M}"
 
 
-def maximal_independent_set(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+def maximal_independent_set(
+    edges: DataFrame, max_iterations: int = 50, broadcast_rows: int = 8_000_000
+) -> DataFrame:
     """Output: ``(v: long, in_mis: int)`` for every vertex of ``edges``.
 
     Deterministic: the lexicographically-first MIS under the ``(h(v), v)``
@@ -57,6 +59,16 @@ def maximal_independent_set(edges: DataFrame, max_iterations: int = 50) -> DataF
     RuntimeError if the peel hasn't emptied the undecided set after
     ``max_iterations`` rounds (expected rounds are O(log n); hitting the cap
     means an adversarial priority order, not a bigger graph).
+
+    Round-6 round shape (same winners every round — the win predicate is
+    unchanged): the |undecided|-row state is BROADCAST into the edge-side
+    joins while it fits ``broadcast_rows`` (size-aware; falls back to the
+    shuffle joins at web scale where |V| is not broadcastable), so the two
+    per-round passes over the cached symmetric edge table are NARROW — the
+    min-priority aggregate reuses sym's persisted hash partitioning on src
+    with zero exchanges, where the previous form sort-merge-joined the edge
+    table twice per round (4 full-edge exchanges + sorts). The winner set
+    is checkpointed before reuse so the losers pass never recomputes it.
     """
     spark = edges.sparkSession
     m2 = edges.count() * 2
@@ -67,17 +79,23 @@ def maximal_independent_set(edges: DataFrame, max_iterations: int = 50) -> DataF
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vertices = sym.select(F.col("src").alias("v")).distinct()
-    und = vertices
+    und, und_ids = tracked_checkpoint(vertices)
+    n_und = und.count()
     mis = None  # accumulated winners (append-only, tiny per round)
-    prev_ids: set[int] = set()
+    mis_ids: set[int] = set()
     with scoped_shuffle_partitions(spark, n_part):
         for _ in range(max_iterations):
-            if und.limit(1).count() == 0:
+            if n_und == 0:
                 break
+            small = n_und <= broadcast_rows
+
+            def _bc(df, _small=small):
+                return F.broadcast(df) if _small else df
+
             # active edges: both endpoints still undecided
             act = (
-                sym.join(und.withColumnRenamed("v", "src"), "src")
-                .join(und.withColumnRenamed("v", "dst"), "dst")
+                sym.join(_bc(und.withColumnRenamed("v", "src")), "src")
+                .join(_bc(und.withColumnRenamed("v", "dst")), "dst")
                 .select("src", "dst")
             )
             # per-vertex min neighbor priority over the active subgraph
@@ -85,7 +103,7 @@ def maximal_independent_set(edges: DataFrame, max_iterations: int = 50) -> DataF
                 F.min(F.struct(_h(F.col("dst")).alias("h"), F.col("dst").alias("v")))
                 .alias("mn")
             )
-            win = (
+            win_plan = (
                 und.join(nbr_min, "v", "left")
                 .where(
                     F.col("mn").isNull()
@@ -94,18 +112,25 @@ def maximal_independent_set(edges: DataFrame, max_iterations: int = 50) -> DataF
                 )
                 .select("v")
             )
+            # materialize winners once: they are read 3× below (losers scan,
+            # undecided anti-join, MIS append)
+            win, win_ids = tracked_checkpoint(win_plan)
+            # losers: undecided neighbors of winners — one narrow sym scan
+            # (the und anti-join below restricts to still-undecided vertices,
+            # so scanning sym instead of act changes nothing)
             lose = (
-                act.join(win.withColumnRenamed("v", "src"), "src")
+                sym.join(_bc(win.withColumnRenamed("v", "src")), "src")
                 .select(F.col("dst").alias("v"))
                 .distinct()
             )
             mis = win if mis is None else mis.unionAll(win)
-            und = und.join(win.unionAll(lose), "v", "left_anti")
-            # one round's state = (und, mis); checkpoint both, release prior
-            und, ids_u = tracked_checkpoint(und)
+            new_und_plan = und.join(_bc(win.unionAll(lose)), "v", "left_anti")
+            new_und, ids_u = tracked_checkpoint(new_und_plan)
             mis, ids_m = tracked_checkpoint(mis)
-            release_ids(spark, prev_ids)
-            prev_ids = ids_u | ids_m
+            n_und = new_und.count()
+            release_ids(spark, und_ids | mis_ids | win_ids)
+            und, und_ids = new_und, ids_u
+            mis_ids = ids_m
         else:
             sym.unpersist()
             raise RuntimeError(
@@ -120,7 +145,7 @@ def maximal_independent_set(edges: DataFrame, max_iterations: int = 50) -> DataF
     ).select("v", F.coalesce("in_mis", F.lit(0)).cast("int").alias("in_mis"))
     out, _ = tracked_checkpoint(out)
     sym.unpersist()
-    release_ids(spark, prev_ids)
+    release_ids(spark, und_ids | mis_ids)
     return out
 
 

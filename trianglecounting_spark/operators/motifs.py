@@ -69,12 +69,25 @@ def four_clique_count(
     Plan: DODG (built once, shared by the enumerate kernel and the three
     extension joins) → kernel triangle list (a,b,c) in rank order → extend
     with x ∈ N⁺(c), keep iff (b,x) and (a,x) are DODG edges.
+
+    Round 6: when the DODG fits ``broadcast_rows`` (size-aware — the same
+    budget class as the kernel's hub CSR), the three extension joins
+    BROADCAST the edge table, so the large quads intermediate
+    (Σ_tri outdeg(c) rows) is never exchanged — the extension fuses into
+    one narrow stage downstream of the enumerate kernel. At web scale the
+    joins fall back to the plain shuffles (AQE skew-splits a hot c).
     """
+    broadcast_rows = 8_000_000
     d = orient_dodg(edges).localCheckpoint(eager=False)
+    small = d.count() <= broadcast_rows
+
+    def _b(df):
+        return F.broadcast(df) if small else df
+
     tri = triangle_enumerate_from_dodg(d, num_partitions, hub_k)
-    dc = d.select(F.col("src").alias("c"), F.col("dst").alias("x"))
-    db = d.select(F.col("src").alias("b"), F.col("dst").alias("x"))
-    da = d.select(F.col("src").alias("a"), F.col("dst").alias("x"))
+    dc = _b(d.select(F.col("src").alias("c"), F.col("dst").alias("x")))
+    db = _b(d.select(F.col("src").alias("b"), F.col("dst").alias("x")))
+    da = _b(d.select(F.col("src").alias("a"), F.col("dst").alias("x")))
     quads = tri.join(dc, "c").join(db, ["b", "x"]).join(da, ["a", "x"])
     return quads.agg(F.count(F.lit(1)).cast("long").alias("four_cliques"))
 
@@ -111,6 +124,14 @@ def square_count(edges: DataFrame) -> DataFrame:
     key: p2 pairs are (src≺dst) by construction (x ≺ m ≺ y transits); oo
     pairs order the two out-neighbors by the DODG's (degree, id) rank, read
     from the degree table the DODG build already computed.
+
+    One-pass aggregation (round 6): both families join on the SAME key m
+    (the wedge center) and aggregate on the SAME canonical (x, y) pair, so
+    the two left sides are unioned with a family tag and the whole identity
+    is ONE join + ONE conditional-count groupBy — replacing two joins, two
+    groupBys and a full_outer merge of the pair tables (3 pair-keyed
+    exchanges + a join → 1 exchange; identical integer counts per pair, so
+    identical squares).
     """
     from trianglecounting_spark.operators.normalize import degrees
 
@@ -118,29 +139,33 @@ def square_count(edges: DataFrame) -> DataFrame:
     d = orient_dodg(edges, deg).localCheckpoint(eager=False)
     dd = d.join(
         deg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_dst")), "dst"
+    ).localCheckpoint(eager=False)
+    out_side = dd.select(
+        F.col("src").alias("m"), F.col("dst").alias("x"),
+        F.col("deg_dst").alias("dx"), F.lit(0).alias("fam"),
     )
-    a = dd.select(
-        F.col("src").alias("m"), F.col("dst").alias("x"), F.col("deg_dst").alias("dx")
+    in_side = d.select(
+        F.col("dst").alias("m"), F.col("src").alias("x"),
+        F.lit(None).cast("long").alias("dx"), F.lit(1).alias("fam"),
     )
-    b = dd.select(
+    right = dd.select(
         F.col("src").alias("m"), F.col("dst").alias("y"), F.col("deg_dst").alias("dy")
     )
-    oo = (
-        a.join(b, "m")
-        .where(
-            (F.col("dx") < F.col("dy"))
-            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
-        )
+    keep = (F.col("fam") == 1) | (
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    pairs = (
+        out_side.unionAll(in_side)
+        .join(right, "m")
+        .where(keep)
         .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("n_oo"))
+        .agg(
+            F.count(F.when(F.col("fam") == 0, 1)).alias("o"),
+            F.count(F.when(F.col("fam") == 1, 1)).alias("p"),
+        )
     )
-    e1 = d.select(F.col("src").alias("x"), F.col("dst").alias("m"))
-    e2 = d.select(F.col("src").alias("m"), F.col("dst").alias("y"))
-    p2 = e1.join(e2, "m").groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_p2"))
-    both = oo.join(p2, ["x", "y"], "full_outer").select(
-        F.coalesce("n_oo", F.lit(0)).alias("o"), F.coalesce("n_p2", F.lit(0)).alias("p")
-    )
-    return both.agg(
+    return pairs.agg(
         F.sum(F.expr("o * (o - 1) div 2 + o * p + p * (p - 1) div 2"))
         .cast("long")
         .alias("squares")

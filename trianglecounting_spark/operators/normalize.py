@@ -217,6 +217,11 @@ def scalable_running_sum(
     Values must be non-null int64 (the caller casts); the result column is
     int64, so sums must stay under 2⁶³ — at 100 TB that holds for token
     counts (10¹² docs × 10³ tokens ≈ 10¹⁵ ≪ 9.2·10¹⁸).
+
+    Output schema contract: exactly ``key_cols + [value_col, out_col]`` —
+    any other input column is PROJECTED AWAY (the sort/cumsum pipeline
+    carries only what it needs per guide §2.3; callers wanting pass-through
+    columns re-join on ``key_cols``).
     """
     import numpy as np
     import pyarrow as pa
@@ -239,12 +244,17 @@ def scalable_running_sum(
         base = 0
         for b in batches:
             vals = b.column("_val").to_numpy(zero_copy_only=False)
+            if len(vals) == 0:
+                # Spark does not normally emit empty Arrow batches but does
+                # not guarantee it — excl[0] below would be an IndexError
+                yield b.append_column("_lsum", pa.array([], pa.int64()))
+                continue
             csum = np.cumsum(vals, dtype=np.int64)
             excl = np.empty_like(csum)
             excl[0] = 0
             excl[1:] = csum[:-1]
             yield b.append_column("_lsum", pa.array(excl + base))
-            base += int(csum[-1]) if len(csum) else 0
+            base += int(csum[-1])
 
     indexed = with_pid.mapInArrow(add_local_exclusive_cumsum, out_schema).persist(
         StorageLevel.MEMORY_AND_DISK

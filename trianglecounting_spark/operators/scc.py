@@ -73,6 +73,7 @@ def _minlabel_flood(
     dst: str,
     max_inner: int,
     what: str,
+    small: bool = False,
 ) -> tuple[DataFrame, set[int]]:
     """Monotone min-label flood to fixpoint: each round
     label(v) ← min(label(v), labels of in-neighbors along ``src``→``dst``).
@@ -98,29 +99,57 @@ def _minlabel_flood(
     is checkpointed before the changed-count action, so no action replays a
     prior round, and every ``_BARRIER_EVERY`` rounds the state gets a
     reliable (file) checkpoint as a true lineage barrier.
+
+    Round 6: the changed-count rides the checkpointed state as a flag
+    column (``in_min < label`` IS "this row changed" — labels only
+    decrease), replacing the per-round join of new-vs-old label tables
+    with a near-free aggregate on the just-materialized |V|-row frame; and
+    when ``small`` the |V|-row state is broadcast into the edge join, so a
+    flood round is one narrow pass over the (pre-partitioned) edge table
+    — at web scale ``small`` is False and the shuffle join runs as before.
     """
-    for _round in range(max_inner):
+    small = bool(small)
+
+    def _step(cur: DataFrame) -> DataFrame:
+        # cur: (v, label, __l0) — __l0 is the label at round start, carried
+        # through so the changed flag needs no join of new-vs-old states
+        col_in = cur.select(F.col("v").alias(src), "label")
         incoming = (
-            edges.join(color.withColumnRenamed("v", src), src)
+            edges.join(F.broadcast(col_in) if small else col_in, src)
             .groupBy(F.col(dst).alias("v"))
             .agg(F.min("label").alias("in_min"))
         )
-        new_plan = color.join(incoming, "v", "left").select(
+        incoming = F.broadcast(incoming) if small else incoming
+        return cur.join(incoming, "v", "left").select(
             "v",
             F.least("label", F.coalesce("in_min", F.col("label"))).alias("label"),
+            "__l0",
+        )
+
+    # Labels only decrease, so "label < round-start label" IS the changed
+    # flag — computed inline and summed on the just-checkpointed |V|-row
+    # state (a near-free probe) instead of joining new-vs-old label tables
+    # per round. Two recurrence steps per checkpoint when the state is
+    # broadcastable (the second step references the first step's plan
+    # twice, which is cheap when the inner aggregate rides a broadcast but
+    # would re-run a shuffle at web scale): the per-round materialization +
+    # probe overhead is paid half as often, and applying the monotone
+    # update more times per materialization reaches the identical fixpoint.
+    steps = 2 if small else 1
+    for _round in range(max_inner):
+        new_plan = color.select("v", "label", F.col("label").alias("__l0"))
+        for _s in range(steps):
+            new_plan = _step(new_plan)
+        new_plan = new_plan.select(
+            "v", "label", (F.col("label") < F.col("__l0")).cast("int").alias("__ch")
         )
         if (_round + 1) % _BARRIER_EVERY == 0:
             new_color, new_ids = barrier_checkpoint(new_plan)
         else:
             new_color, new_ids = tracked_checkpoint(new_plan)
-        changed = (
-            new_color.withColumnRenamed("label", "l1")
-            .join(color.withColumnRenamed("label", "l0"), "v")
-            .where(F.col("l1") != F.col("l0"))
-            .count()
-        )
+        changed = new_color.agg(F.sum("__ch")).collect()[0][0] or 0
         release_ids(spark, color_ids)
-        color, color_ids = new_color, new_ids
+        color, color_ids = new_color.select("v", "label"), new_ids
         if changed == 0:
             return color, color_ids
     raise RuntimeError(
@@ -133,6 +162,7 @@ def scc(
     directed_edges: DataFrame,
     max_rounds: int = 20,
     max_inner: int = 100,
+    broadcast_rows: int = 8_000_000,
 ) -> DataFrame:
     """Exact SCC labels over directed ``(src, dst)`` edges.
 
@@ -159,10 +189,32 @@ def scc(
         .distinct()
     )
     n_part = iteration_partitions(spark, e_all.count())
-    assigned, assigned_ids = tracked_checkpoint(
-        spark.createDataFrame([], "v long, label long")
-    )
+    # assigned SCCs accumulate as a list of already-materialized frames
+    # (trivial/marked checkpoints) and union ONCE at return — deferring the
+    # per-layer assigned-union checkpoint job the previous form paid
+    assigned_parts: list[DataFrame] = []
+    assigned_ids: set[int] = set()
     active, active_ids = verts, set()  # verts' blocks released at return
+    n_active = active.count()
+
+    def _bc(df):
+        # size-aware: the |active|-row vertex/label tables are broadcast into
+        # the edge-side joins while they fit the budget (narrow trim/flood
+        # passes); at web scale the joins fall back to shuffles unchanged
+        return F.broadcast(df) if n_active <= broadcast_rows else df
+
+    def _finish() -> DataFrame:
+        if not assigned_parts:
+            out = spark.createDataFrame([], "v long, label long")
+        elif len(assigned_parts) == 1:
+            out = assigned_parts[0]
+        else:
+            out = assigned_parts[0]
+            for p in assigned_parts[1:]:
+                out = out.unionAll(p)
+        out, _ = tracked_checkpoint(out)
+        release_ids(spark, assigned_ids)
+        return out
 
     with scoped_shuffle_partitions(spark, n_part):
         for _round in range(1, max_rounds + 1):
@@ -175,18 +227,18 @@ def scc(
             for _ in range(max_inner):
                 ea_t = (
                     e_all.join(
-                        active.withColumnRenamed("v", "src"), "src", "left_semi"
+                        _bc(active.withColumnRenamed("v", "src")), "src", "left_semi"
                     )
-                    .join(active.withColumnRenamed("v", "dst"), "dst", "left_semi")
+                    .join(_bc(active.withColumnRenamed("v", "dst")), "dst", "left_semi")
                 )
                 trivial, triv_ids = tracked_checkpoint(
                     active.join(
-                        ea_t.select(F.col("dst").alias("v")).distinct(),
+                        _bc(ea_t.select(F.col("dst").alias("v")).distinct()),
                         "v",
                         "left_anti",
                     ).unionAll(
                         active.join(
-                            ea_t.select(F.col("src").alias("v")).distinct(),
+                            _bc(ea_t.select(F.col("src").alias("v")).distinct()),
                             "v",
                             "left_anti",
                         )
@@ -196,23 +248,24 @@ def scc(
                 if n_triv == 0:
                     release_ids(spark, triv_ids)
                     break
-                new_assigned, na_ids = tracked_checkpoint(
-                    assigned.unionAll(trivial.select("v", F.col("v").alias("label")))
+                assigned_parts.append(
+                    trivial.select("v", F.col("v").alias("label"))
                 )
+                assigned_ids |= triv_ids
                 remaining, rem_ids = tracked_checkpoint(
-                    active.join(trivial, "v", "left_anti")
+                    active.join(_bc(trivial), "v", "left_anti")
                 )
-                release_ids(spark, assigned_ids | active_ids | triv_ids)
-                assigned, assigned_ids = new_assigned, na_ids
+                release_ids(spark, active_ids)
                 active, active_ids = remaining, rem_ids
-            if active.count() == 0:
+                n_active -= n_triv
+            if n_active == 0:
                 release_ids(spark, active_ids | e_ids | verts_ids)
-                return assigned
+                return _finish()
 
             # restrict edges to the still-active vertex set (both endpoints)
             ea, ea_ids = tracked_checkpoint(
-                e_all.join(active.withColumnRenamed("v", "src"), "src", "left_semi")
-                .join(active.withColumnRenamed("v", "dst"), "dst", "left_semi")
+                e_all.join(_bc(active.withColumnRenamed("v", "src")), "src", "left_semi")
+                .join(_bc(active.withColumnRenamed("v", "dst")), "dst", "left_semi")
                 .select("src", "dst")
                 .repartition(n_part, "src")
             )
@@ -234,7 +287,7 @@ def scc(
             )
             color, color_ids = _minlabel_flood(
                 spark, ea, color, color_ids, "src", "dst", max_inner,
-                what="scc forward coloring",
+                what="scc forward coloring", small=n_active <= broadcast_rows,
             )
 
             # 2. backward containment over same-color edges (crossing a
@@ -245,11 +298,11 @@ def scc(
             #    v ∈ SCC(root) ⟺ bcolor(v) == its forward color.
             ec, ec_ids = tracked_checkpoint(
                 ea.join(
-                    color.select(F.col("v").alias("src"), F.col("label").alias("cl_s")),
+                    _bc(color.select(F.col("v").alias("src"), F.col("label").alias("cl_s"))),
                     "src",
                 )
                 .join(
-                    color.select(F.col("v").alias("dst"), F.col("label").alias("cl_d")),
+                    _bc(color.select(F.col("v").alias("dst"), F.col("label").alias("cl_d"))),
                     "dst",
                 )
                 .where(F.col("cl_s") == F.col("cl_d"))
@@ -261,7 +314,7 @@ def scc(
             )
             bcolor, bcolor_ids = _minlabel_flood(
                 spark, ec, bcolor, bcolor_ids, "src", "dst", max_inner,
-                what="scc backward containment",
+                what="scc backward containment", small=n_active <= broadcast_rows,
             )
             marked, marked_ids = tracked_checkpoint(
                 color.join(
@@ -271,24 +324,20 @@ def scc(
             release_ids(spark, bcolor_ids)
 
             # 3. extract: marked vertices ARE complete SCCs labeled by their
-            #    root; everything this round created is released only after
-            #    the next round's inputs (assigned, active) are materialized
-            new_assigned, na_ids = tracked_checkpoint(
-                assigned.unionAll(marked.select("v", "label"))
-            )
+            #    root; the marked checkpoint joins the deferred assigned
+            #    union at return, so only the next round's active input
+            #    needs a fresh materialization here
+            assigned_parts.append(marked.select("v", "label"))
+            assigned_ids |= marked_ids
             remaining, rem_ids = tracked_checkpoint(
-                active.join(marked.select("v"), "v", "left_anti")
+                active.join(_bc(marked.select("v")), "v", "left_anti")
             )
             n_active = remaining.count()
-            release_ids(
-                spark,
-                assigned_ids | active_ids | ea_ids | color_ids | ec_ids | marked_ids,
-            )
-            assigned, assigned_ids = new_assigned, na_ids
+            release_ids(spark, active_ids | ea_ids | color_ids | ec_ids)
             active, active_ids = remaining, rem_ids
             if n_active == 0:
                 release_ids(spark, active_ids | e_ids | verts_ids)
-                return assigned
+                return _finish()
         n_left = active.count()
         release_ids(spark, active_ids | e_ids | verts_ids)
         raise RuntimeError(

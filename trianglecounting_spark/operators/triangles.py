@@ -87,27 +87,49 @@ def triangle_per_edge_support(edges: DataFrame) -> DataFrame:
     per-edge explode is our extension required for k-truss (north_star).
     Output: ``(u, v, support: long)`` for every edge, u < v (support 0 kept).
     """
-    # kernel-based enumeration (the SMJ enumerate is ~4× slower; it remains
-    # the differential oracle via the SQL path)
-    tris = triangle_enumerate_kernel(edges)
-    # One explode, not a 3-way union: a union would re-execute the triangle
-    # join once per branch. Corners are in RANK order (deg, id) — canonicalize
-    # each incidence pair by id so it joins the (u < v by id) edge table.
-    def pair(x, y):
-        return F.struct(
-            F.least(F.col(x), F.col(y)).alias("u"),
-            F.greatest(F.col(x), F.col(y)).alias("v"),
-        )
-
-    incidences = tris.select(
-        F.explode(F.array(pair("a", "b"), pair("a", "c"), pair("b", "c"))).alias("e")
-    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-    support = incidences.groupBy("u", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("support")
+    # kernel support counts with in-partition partial aggregation (round 6:
+    # replaces the 3-per-triangle explode + full-row groupBy; the SMJ
+    # enumerate remains the differential oracle via the SQL path). Corners
+    # are in RANK order (deg, id) — canonicalize each pair by id so it
+    # joins the (u < v by id) edge table.
+    d = orient_dodg(edges).localCheckpoint(eager=False)
+    counts = triangle_support_counts_oriented(d)
+    support = counts.select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+        "support",
     )
     return (
         edges.join(support, ["u", "v"], "left")
         .select("u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+    )
+
+
+def triangle_per_edge_support_oriented(
+    d: DataFrame, num_partitions: int | None = None, hub_k: int | None = None
+) -> DataFrame:
+    """Per-edge support keyed on an ALREADY-ORIENTED acyclic edge table
+    ``(src, dst)`` (any orientation induced by a fixed total vertex order —
+    e.g. ``orient_dodg``'s output or any subgraph of it).
+
+    Support is an undirected-edge property and every orientation from a total
+    order enumerates each triangle exactly once, so the counts are identical
+    to ``triangle_per_edge_support`` on the canonicalized edges — but the
+    caller skips the per-call degree aggregation + orientation joins, which
+    is what makes the k-truss peel loop pay orientation ONCE instead of once
+    per round (the orientation of the shrinking subgraph under the ORIGINAL
+    order stays acyclic; out-degrees only shrink, so the O(√m) bound holds).
+
+    Output: ``(src, dst, support: long)`` for every input row (0 kept).
+    Corners from the enumerate kernel come out in rank order, so the three
+    incidence pairs of a triangle ARE oriented input rows — no
+    least/greatest canonicalization anywhere.
+    """
+    support = triangle_support_counts_oriented(d, num_partitions, hub_k)
+    return d.join(support, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
     )
 
 
@@ -247,13 +269,22 @@ def _partition_views(tbl, hub_idx):
     """
     srcs = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     dsts = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    nb = tbl.column("nbrs")
-    if hasattr(nb, "combine_chunks"):
-        nb = nb.combine_chunks()
     n = len(srcs)
-    j_offsets = np.asarray(nb.offsets).astype(np.int64, copy=False)
-    j_values = nb.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    valid = np.asarray(nb.is_valid())
+    if "nbrs" not in tbl.schema.names:
+        # full-CSR layout (round 6): every dst resolves against the broadcast
+        # CSR — the layout ships no list column at all (an all-null
+        # array<long> column measured 15+ s of Arrow serialization per pass
+        # at sf0.1; two plain int columns are ~50× cheaper to move)
+        j_offsets = np.zeros(n + 1, dtype=np.int64)
+        j_values = np.empty(0, dtype=np.int64)
+        valid = np.zeros(n, dtype=bool)
+    else:
+        nb = tbl.column("nbrs")
+        if hasattr(nb, "combine_chunks"):
+            nb = nb.combine_chunks()
+        j_offsets = np.asarray(nb.offsets).astype(np.int64, copy=False)
+        j_values = nb.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        valid = np.asarray(nb.is_valid())
     hub_pos = np.full(n, -1, dtype=np.int64)
     if hub_idx is not None and (~valid).any():
         ids, _offs, _vals = hub_idx
@@ -489,6 +520,70 @@ def _make_tc_partition_enumerate(hub_bc):
     return run
 
 
+def _make_tc_partition_support_partial(hub_bc):
+    """Kernel variant emitting per-partition PARTIAL per-edge support:
+    every triangle (a, b, c) found here contributes +1 to its three edges
+    (a,b), (a,c), (b,c) — pre-aggregated inside the partition with one
+    numpy lexsort+run-length pass, so the downstream groupBy-sum moves one
+    row per partition-distinct edge instead of three rows per triangle
+    (the map-side combine the Catalyst explode+count could not do across
+    the Arrow boundary). Pairs stay in rank order = the DODG's oriented
+    rows; edges in no triangle are absent (support 0)."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        enum = _make_tc_partition_enumerate(hub_bc)
+        pairs_x, pairs_y = [], []
+        for rb in enum(batches):
+            a = rb.column("a").to_numpy(zero_copy_only=False)
+            b = rb.column("b").to_numpy(zero_copy_only=False)
+            c = rb.column("c").to_numpy(zero_copy_only=False)
+            pairs_x.append(np.concatenate((a, a, b)))
+            pairs_y.append(np.concatenate((b, c, c)))
+        if not pairs_x:
+            return
+        xs = np.concatenate(pairs_x)
+        ys = np.concatenate(pairs_y)
+        order = np.lexsort((ys, xs))
+        xs, ys = xs[order], ys[order]
+        new = np.empty(len(xs), dtype=bool)
+        new[0] = True
+        new[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.append(starts, len(xs)))
+        yield pa.RecordBatch.from_pydict(
+            {
+                "src": pa.array(xs[starts], pa.int64()),
+                "dst": pa.array(ys[starts], pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return run
+
+
+def triangle_support_counts_oriented(
+    d: DataFrame, num_partitions: int | None = None, hub_k: int | None = None
+) -> DataFrame:
+    """Per-edge triangle support over an already-oriented edge table, WITHOUT
+    zero-support rows: ``(src, dst, support)`` keyed on the oriented rows,
+    only for edges in ≥ 1 triangle. One kernel pass with in-partition
+    partial aggregation (``_make_tc_partition_support_partial``) + one
+    groupBy-sum — no 3-per-triangle explode, no join back to the edge
+    table. The k-truss peel (k ≥ 3) filters ``support >= k-2 >= 1``, so the
+    absent zero rows are exactly the rows the filter would drop."""
+    adj = adjacency(d, num_partitions).localCheckpoint(eager=False)
+    laid_out, hub_bc = _layout_from_dodg(d, adj, num_partitions, hub_k)
+    partials = laid_out.mapInArrow(
+        _make_tc_partition_support_partial(hub_bc),
+        schema="src long, dst long, cnt long",
+    )
+    return partials.groupBy("src", "dst").agg(
+        F.sum("cnt").cast("long").alias("support")
+    )
+
+
 def triangle_enumerate_kernel(
     edges: DataFrame, num_partitions: int | None = None, hub_k: int | None = None
 ) -> DataFrame:
@@ -544,18 +639,47 @@ def _edges_with_dst_adjacency(
 
 
 def _layout_from_dodg(
-    d: DataFrame, adj: DataFrame, num_partitions: int | None, hub_k: int | None = None
+    d: DataFrame,
+    adj: DataFrame,
+    num_partitions: int | None,
+    hub_k: int | None = None,
+    full_csr: bool = True,
 ):
     """Core of the kernel layout, shared by the edge-derived path above and
     the pre-bucketed-table path (`bucketed_kernel_layout`): hub split + the
     edges ⋈ dst-adjacency join + the src CSR grouping. When ``d``/``adj`` come
     from tables bucketed by dst/src, the join plans with ZERO shuffle
     exchanges (both scans already satisfy the join distribution) — the
-    SURVEY §4 "bucketed write" layout contract."""
+    SURVEY §4 "bucketed write" layout contract.
+
+    Full-CSR fast path (round 6): when the WHOLE oriented edge table fits
+    the hub byte budget (``HUB_BUDGET_BYTES`` — the same size guard the hub
+    split already enforces), broadcasting everything strictly dominates the
+    hub split: the adjacency grouping shuffle, the hub-selection
+    aggregation/explode jobs, and the dst-adjacency join all disappear —
+    the layout is the edge table itself (every dst resolved against the
+    broadcast CSR), one repartition+sort from being kernel-ready. Counts
+    and the instrumented probe totals are identical (every edge's
+    |N⁺(dst)| is probed exactly once either way); at web scale the budget
+    fails and the ordinary hub-split path runs unchanged."""
     hubs = hub_flat = None
     if hub_k is None:
         hub_k = HUB_K_DEFAULT
     if hub_k > 0:
+        budget_rows = max(1, HUB_BUDGET_BYTES // 16)
+        if full_csr and d.count() <= budget_rows:
+            flat_pdf = d.toPandas().rename(columns={"dst": "nbr"})
+            # no nbrs column: the kernel resolves every dst via the broadcast
+            # CSR (see _partition_views — shipping an all-null list column
+            # through Arrow costs more than the whole intersection pass)
+            if num_partitions is not None:
+                laid = d.repartition(num_partitions, "src")
+            else:
+                laid = d.repartition("src")
+            return (
+                laid.sortWithinPartitions("src"),
+                _broadcast_hub_csr(d.sparkSession, flat_pdf),
+            )
         hubs, hub_flat = _select_hub_csr(d, adj, hub_k)
     return _assemble_layout(d, adj, hubs, hub_flat, num_partitions)
 
@@ -743,7 +867,10 @@ def bucketed_kernel_layout(
             return _assemble_layout(d, adj, hubs, flat_pdf, None)
         # pre-materialized CSR over budget (layout written under a larger
         # budget): fall through to fresh selection, whose own guard applies
-    return _layout_from_dodg(d, adj, None, hub_k)
+    # full_csr=False: the bucketed tables exist precisely so the kernel join
+    # is exchange-free on read — collecting the whole edge table would waive
+    # the pay-once layout this path demonstrates (and re-collect per query)
+    return _layout_from_dodg(d, adj, None, hub_k, full_csr=False)
 
 
 def triangle_count_kernel_bucketed(
