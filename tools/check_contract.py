@@ -39,7 +39,13 @@ def canon(rows, cols):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--all"]
+    json_out = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+        elif a != "--all":
+            argv.append(a)
     include_all = "--all" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
@@ -80,6 +86,7 @@ def main():
     spark = get_spark(cores=8)
     spark.sparkContext.setLogLevel("ERROR")
     n_fail = 0
+    results = {}  # --json artifact: per-query status/rows/wall (VERDICT r5 #3)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -90,32 +97,52 @@ def main():
             rows = [tuple(r) for r in df.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error {str(ex)[:300]}", flush=True)
+            results[name] = {"status": "FAIL", "err": str(ex)[:200]}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracle_res:
             print(f"PASS(rows-only) {name}: {len(rows)} rows  [{dt:.1f}s]", flush=True)
+            results[name] = {"status": "PASS(rows-only)", "rows": len(rows),
+                             "spark_s": round(dt, 1)}
             continue
         ocols, orows, odt = oracle_res[name]
         if ocols == "ERROR":
             print(f"FAIL {name}: oracle error {orows}", flush=True)
+            results[name] = {"status": "FAIL", "err": f"oracle: {orows[:200]}"}
             n_fail += 1
             continue
         if sorted(cols) != sorted(ocols):
             print(f"FAIL {name}: schema {sorted(cols)} != {sorted(ocols)}", flush=True)
+            results[name] = {"status": "FAIL", "err": "schema mismatch"}
             n_fail += 1
             continue
         a, b = canon(rows, cols), canon(orows, ocols)
         if len(a) != len(b):
             print(f"FAIL {name}: rowcount {len(a)} != {len(b)}", flush=True)
+            results[name] = {"status": "FAIL", "err": f"rowcount {len(a)} != {len(b)}"}
             n_fail += 1
         elif a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: values differ, e.g. {diff}", flush=True)
+            results[name] = {"status": "FAIL", "err": "values differ"}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(a)} rows  [spark {dt:.1f}s, duck {odt:.1f}s]", flush=True)
+            results[name] = {"status": "PASS", "rows": len(a),
+                             "spark_s": round(dt, 1), "duck_s": round(odt, 1)}
     print(f"done: {n_fail} failures", flush=True)
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "n_fail": n_fail,
+                 "n_pass": sum(1 for r in results.values()
+                               if r["status"].startswith("PASS")),
+                 "queries": results},
+                f, indent=1, sort_keys=True,
+            )
     sys.exit(1 if n_fail else 0)
 
 

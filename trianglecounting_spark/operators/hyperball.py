@@ -111,9 +111,16 @@ def _estimate_expr() -> str:
     )
 
 
-def hyperball_state(edges: DataFrame, t: int) -> DataFrame:
+def hyperball_state(
+    edges: DataFrame, t: int, broadcast_rows: int = 8_000_000
+) -> DataFrame:
     """Register state after ``t`` merge rounds: ``(v, j, rho)`` — the HLL
-    sketch of every vertex's distance-≤t ball (undirected)."""
+    sketch of every vertex's distance-≤t ball (undirected).
+
+    The state is ≤ |V|·M_REG rows — broadcast into the per-round neighbor
+    join while that bound fits ``broadcast_rows`` (size-aware; shuffle join
+    at web scale), so a merge round is one narrow pass over the symmetric
+    edge table + one map-side-combined max aggregate."""
     j_expr, rho_expr = _register_exprs()
     sym = undirect(edges).localCheckpoint(eager=False)
     verts = sym.select(F.col("src").alias("v")).distinct()
@@ -121,9 +128,11 @@ def hyperball_state(edges: DataFrame, t: int) -> DataFrame:
         "v", F.expr(j_expr).cast("int").alias("j"), F.expr(rho_expr).cast("int").alias("rho")
     )
     state, _ = tracked_checkpoint(state)
+    small = state.count() * M_REG <= broadcast_rows
     for _ in range(t):
-        contrib = sym.join(state, sym["dst"] == state["v"]).select(
-            sym["src"].alias("v"), state["j"], state["rho"]
+        st = F.broadcast(state) if small else state
+        contrib = sym.join(st, sym["dst"] == st["v"]).select(
+            sym["src"].alias("v"), st["j"], st["rho"]
         )
         merged = (
             state.unionAll(contrib).groupBy("v", "j").agg(F.max("rho").alias("rho"))
@@ -166,10 +175,12 @@ def neighborhood_function(edges: DataFrame, t_max: int) -> list[tuple[int, float
         ).collect()[0]
         return float(row["nf"])
 
+    small = state.count() * M_REG <= 8_000_000
     curve.append((0, nf(state)))
     for t in range(1, t_max + 1):
-        contrib = sym.join(state, sym["dst"] == state["v"]).select(
-            sym["src"].alias("v"), state["j"], state["rho"]
+        st = F.broadcast(state) if small else state
+        contrib = sym.join(st, sym["dst"] == st["v"]).select(
+            sym["src"].alias("v"), st["j"], st["rho"]
         )
         merged = (
             state.unionAll(contrib).groupBy("v", "j").agg(F.max("rho").alias("rho"))

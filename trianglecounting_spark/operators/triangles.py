@@ -733,9 +733,12 @@ def _select_hub_csr(d: DataFrame, adj: DataFrame, hub_k: int | None,
         candidates = candidates.where(F.col("indeg") >= thresh)
     hubs = candidates.select("dst").localCheckpoint(eager=False)
     budget_rows = max(1, budget // 16)  # two int64 columns per row
+    # the flat CSR is the hub vertices' out-EDGES — read them straight off
+    # the edge table instead of exploding the grouped adjacency lists (same
+    # rows; _broadcast_hub_csr lexsorts driver-side, so order is free)
     flat_pdf = (
-        adj.join(hubs.withColumnRenamed("dst", "src"), "src")
-        .select("src", F.explode("nbrs").alias("nbr"))
+        d.join(hubs.withColumnRenamed("dst", "src"), "src")
+        .select("src", F.col("dst").alias("nbr"))
         .limit(budget_rows + 1)
         .toPandas()
     )
