@@ -18,7 +18,6 @@ monotonically shrinking. Persist + lineage checkpoint per round.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from trianglecounting_spark.operators.triangles import triangle_per_edge_support
 from trianglecounting_spark.plans.cache import (
@@ -38,7 +37,9 @@ def _peel_once(cur: DataFrame, k: int) -> DataFrame:
     return sup.where(F.col("support") >= k - 2).select("u", "v")
 
 
-def _peel_once_oriented(cur_d: DataFrame, k: int) -> DataFrame:
+def _peel_once_oriented(
+    cur_d: DataFrame, k: int, n_rows: int | None = None
+) -> DataFrame:
     """One support peel on an already-oriented edge table — identical edge
     sets to ``_peel_once`` on the canonical form (support is
     orientation-invariant; see ``triangle_per_edge_support_oriented``), but
@@ -52,7 +53,7 @@ def _peel_once_oriented(cur_d: DataFrame, k: int) -> DataFrame:
 
     if k <= 2:  # every edge has support >= 0 >= k-2: the peel is a no-op
         return cur_d
-    sup = triangle_support_counts_oriented(cur_d)
+    sup = triangle_support_counts_oriented(cur_d, n_rows=n_rows)
     return sup.where(F.col("support") >= k - 2).select("src", "dst")
 
 
@@ -94,7 +95,9 @@ def ktruss(
         # tracked so the previous round's blocks AND the peel's kernel-internal
         # adjacency/hub materializations are released deterministically
         before = persistent_rdd_ids(spark)
-        nxt, nxt_ids = tracked_checkpoint(_peel_once_oriented(cur, k), before=before)
+        nxt, nxt_ids = tracked_checkpoint(
+            _peel_once_oriented(cur, k, n_rows=n_cur), before=before
+        )
         n_nxt = nxt.count()
         if checkpointer is not None:
             nxt = checkpointer.maybe_save(it, nxt)
@@ -179,17 +182,17 @@ def ktruss_incremental(
 
     Delta-round shape (what a shuffle engine can and cannot save):
     * state is the ORIENTED survivor table ``(src, dst, support)`` under the
-      switch-time degree-ordered DODG; a fixed total vertex order gives each
-      triangle of every subgraph exactly one (a→b, b→c, a→c) representation,
-      so the orientation is computed once at the switch and never again.
-      Support itself is an undirected-edge property, seeded by the last bulk
-      ``triangle_per_edge_support`` pass and re-keyed to oriented rows once.
+      input graph's degree-ordered DODG (round 6: orientation is computed
+      ONCE up front and the bulk peel already runs oriented, so the switch
+      just repartitions the last bulk support table — no re-keying join); a
+      fixed total vertex order gives each triangle of every subgraph exactly
+      one (a→b, b→c, a→c) representation. Support itself is an
+      undirected-edge property, identical under any orientation.
     * R expands to candidate wedges via BROADCAST joins (R is hinted below
       ``broadcast_rows``), so the big side is scanned, never shuffled;
     * the closing-edge membership checks and the final decrement join all
-      key on ``(src, dst)``, and the state is checkpointed hash-partitioned
-      on exactly that key — ``LogicalRDD`` preserves the partitioning, so
-      only the wedge/decrement (removal-neighborhood-sized) side shuffles;
+      key on ``(src, dst)`` — only the wedge/decrement
+      (removal-neighborhood-sized) side is ever the moving side;
     * triangles losing 2-3 edges in one batch are deduplicated by the
       ``distinct`` on the lost-triangle triples.
 
@@ -224,7 +227,7 @@ def ktruss_incremental(
         rounds_used += 1
         before = persistent_rdd_ids(spark)
         sup, sup_ids = tracked_checkpoint(
-            triangle_support_counts_oriented(cur), before=before
+            triangle_support_counts_oriented(cur, n_rows=n_cur), before=before
         )
         n_surv = sup.where(F.col("support") >= k - 2).count()
         n_removed = n_cur - n_surv

@@ -564,7 +564,10 @@ def _make_tc_partition_support_partial(hub_bc):
 
 
 def triangle_support_counts_oriented(
-    d: DataFrame, num_partitions: int | None = None, hub_k: int | None = None
+    d: DataFrame,
+    num_partitions: int | None = None,
+    hub_k: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-edge triangle support over an already-oriented edge table, WITHOUT
     zero-support rows: ``(src, dst, support)`` keyed on the oriented rows,
@@ -572,9 +575,12 @@ def triangle_support_counts_oriented(
     partial aggregation (``_make_tc_partition_support_partial``) + one
     groupBy-sum — no 3-per-triangle explode, no join back to the edge
     table. The k-truss peel (k ≥ 3) filters ``support >= k-2 >= 1``, so the
-    absent zero rows are exactly the rows the filter would drop."""
+    absent zero rows are exactly the rows the filter would drop.
+    ``n_rows``: the caller's known row count of ``d`` (skips the layout's
+    budget-probe count job — the peel loop already counts every round)."""
     adj = adjacency(d, num_partitions).localCheckpoint(eager=False)
-    laid_out, hub_bc = _layout_from_dodg(d, adj, num_partitions, hub_k)
+    laid_out, hub_bc = _layout_from_dodg(d, adj, num_partitions, hub_k,
+                                         n_rows=n_rows)
     partials = laid_out.mapInArrow(
         _make_tc_partition_support_partial(hub_bc),
         schema="src long, dst long, cnt long",
@@ -644,6 +650,7 @@ def _layout_from_dodg(
     num_partitions: int | None,
     hub_k: int | None = None,
     full_csr: bool = True,
+    n_rows: int | None = None,
 ):
     """Core of the kernel layout, shared by the edge-derived path above and
     the pre-bucketed-table path (`bucketed_kernel_layout`): hub split + the
@@ -667,7 +674,9 @@ def _layout_from_dodg(
         hub_k = HUB_K_DEFAULT
     if hub_k > 0:
         budget_rows = max(1, HUB_BUDGET_BYTES // 16)
-        if full_csr and d.count() <= budget_rows:
+        if n_rows is None:
+            n_rows = d.count()
+        if full_csr and n_rows <= budget_rows:
             flat_pdf = d.toPandas().rename(columns={"dst": "nbr"})
             # no nbrs column: the kernel resolves every dst via the broadcast
             # CSR (see _partition_views — shipping an all-null list column
