@@ -676,7 +676,7 @@ def _layout_from_dodg(
         budget_rows = max(1, HUB_BUDGET_BYTES // 16)
         if n_rows is None:
             n_rows = d.count()
-        if full_csr and n_rows <= budget_rows:
+        if full_csr and n_rows <= min(budget_rows, FULL_CSR_MAX_ROWS):
             flat_pdf = d.toPandas().rename(columns={"dst": "nbr"})
             # no nbrs column: the kernel resolves every dst via the broadcast
             # CSR (see _partition_views — shipping an all-null list column
@@ -709,6 +709,14 @@ import os as _os
 # env-tunable for the large-graph runs.
 HUB_BUDGET_BYTES = int(_os.environ.get("SPARK_GRAFT_HUB_BUDGET_BYTES", 256 << 20))
 HUB_K_DEFAULT = int(_os.environ.get("SPARK_GRAFT_HUB_K", 65536))
+# Row cap for the full-graph broadcast-CSR fast path (round 6), separate from
+# (and additionally bounded by) the byte budget above. MEASURED crossover vs
+# the hub-split path on R-MAT ef=16, local[32], identical counts:
+#   1.2 M edges (sf0.1): ~2× faster;  3.8 M (scale 18): even (8-11 s both);
+#   7.7 M (scale 19): 2× SLOWER (30-37 s vs 16.5 s — the per-call edge-table
+#   collect + whole-graph rebroadcast stops amortizing). 4 M keeps the win
+#   and never enters the losing regime; env-tunable like the byte budget.
+FULL_CSR_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_FULL_CSR_ROWS", 4_000_000))
 
 
 def _select_hub_csr(d: DataFrame, adj: DataFrame, hub_k: int | None,
